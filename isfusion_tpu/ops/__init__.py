@@ -1,0 +1,9 @@
+from .scatter import (  # noqa: F401
+    segment_sum, segment_max, segment_mean, group_ranks, unique_with_ranks)
+from .voxel import (  # noqa: F401
+    VoxelizationOutput, compute_voxel_coords, voxelize_hard, voxelize_dynamic,
+    dynamic_scatter)
+from .box_ops import (  # noqa: F401
+    limit_period, boxes_iou_bev, boxes_overlap_3d, boxes_iou_3d,
+    rotated_corners_2d, circle_nms_mask, nms_bev_mask)
+from .gaussian import gaussian_radius, draw_heatmap_gaussian  # noqa: F401

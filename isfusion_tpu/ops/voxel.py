@@ -1,0 +1,153 @@
+"""Fixed-capacity voxelization (pure XLA, jit/vmap-friendly).
+
+TPU-native replacement for the reference's CUDA voxelizers
+(`mmdet3d/ops/voxel/src/voxelization_cuda.cu`, python wrappers
+`mmdet3d/ops/voxel/voxelize.py:10,77`): instead of dynamic-length outputs,
+all results are padded to static capacities with validity masks — which is
+also what the reference effectively does via ``max_voxels``/``max_points``
+truncation. Per-sample use under ``jax.vmap`` replaces the reference's python
+loop over batch elements (`detectors/isfusion.py:125-176`).
+
+Layout conventions (parity with the reference):
+- voxel coords are (z, y, x) int32;
+- grid_size is (nx, ny, nz) derived from point_cloud_range / voxel_size.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .scatter import unique_with_ranks, segment_mean, segment_max
+
+
+class VoxelizationOutput(NamedTuple):
+    voxels: jnp.ndarray        # (max_voxels, max_points, C) padded point feats
+    coors: jnp.ndarray         # (max_voxels, 3) int32 (z, y, x); -1 pad
+    num_points: jnp.ndarray    # (max_voxels,) int32 points per voxel (capped)
+    voxel_mask: jnp.ndarray    # (max_voxels,) bool
+    point_voxel_index: jnp.ndarray  # (P,) int32 voxel slot per point (max_voxels = trash)
+    point_mask: jnp.ndarray    # (P,) bool point kept (in range & within caps)
+
+
+def compute_voxel_coords(points: jnp.ndarray,
+                         point_cloud_range: Sequence[float],
+                         voxel_size: Sequence[float]
+                         ) -> Tuple[jnp.ndarray, jnp.ndarray, Tuple[int, int, int]]:
+    """Per-point integer voxel coords (z, y, x) + in-range mask.
+
+    Returns (coors (P,3) int32, in_range (P,) bool, grid (nx, ny, nz)).
+    grid sizes are static python ints.
+    """
+    pcr = tuple(float(v) for v in point_cloud_range)
+    vs = tuple(float(v) for v in voxel_size)
+    nx = int(round((pcr[3] - pcr[0]) / vs[0]))
+    ny = int(round((pcr[4] - pcr[1]) / vs[1]))
+    nz = int(round((pcr[5] - pcr[2]) / vs[2]))
+    xyz = points[:, :3]
+    low = jnp.array(pcr[:3], points.dtype)
+    inv = jnp.array([1.0 / vs[0], 1.0 / vs[1], 1.0 / vs[2]], points.dtype)
+    cxyz = jnp.floor((xyz - low) * inv).astype(jnp.int32)
+    grid = jnp.array([nx, ny, nz], jnp.int32)
+    in_range = jnp.all((cxyz >= 0) & (cxyz < grid), axis=-1)
+    coors = jnp.stack([cxyz[:, 2], cxyz[:, 1], cxyz[:, 0]], axis=-1)
+    return coors, in_range, (nx, ny, nz)
+
+
+def _linearize(coors: jnp.ndarray, grid: Tuple[int, int, int]) -> jnp.ndarray:
+    nx, ny, nz = grid
+    return (coors[:, 0] * (ny * nx) + coors[:, 1] * nx + coors[:, 2])
+
+
+def voxelize_hard(points: jnp.ndarray, point_mask: jnp.ndarray,
+                  point_cloud_range: Sequence[float],
+                  voxel_size: Sequence[float],
+                  max_points: int, max_voxels: int) -> VoxelizationOutput:
+    """Hard voxelization: bucket points into voxels, cap points/voxel.
+
+    points: (P, C) padded; point_mask: (P,) bool validity.
+    Deterministic: points keep ascending original order within a voxel
+    (the reference's `deterministic=True` contract, `voxelize.py:34-43`).
+    """
+    coors, in_range, grid = compute_voxel_coords(
+        points, point_cloud_range, voxel_size)
+    valid = point_mask & in_range
+    ids = _linearize(coors, grid)
+    uniq = unique_with_ranks(ids, valid, num_groups_cap=max_voxels)
+    keep = valid & (uniq.group_index < max_voxels) & \
+        (uniq.rank_in_group < max_points)
+    vidx = jnp.where(keep, uniq.group_index, max_voxels)
+    rank = jnp.where(keep, uniq.rank_in_group, 0)
+    C = points.shape[-1]
+    voxels = jnp.zeros((max_voxels + 1, max_points, C), points.dtype)
+    voxels = voxels.at[vidx, rank].set(
+        jnp.where(keep[:, None], points, 0.0), mode="drop")[:max_voxels]
+    num_points = jnp.minimum(uniq.group_size, max_points)
+    # coords per voxel: scatter each kept point's coords (first writer wins is
+    # fine — all points in a voxel share coords)
+    vox_coors = jnp.full((max_voxels + 1, 3), -1, jnp.int32)
+    vox_coors = vox_coors.at[vidx].set(
+        jnp.where(keep[:, None], coors, -1), mode="drop")[:max_voxels]
+    return VoxelizationOutput(
+        voxels=voxels, coors=vox_coors, num_points=num_points,
+        voxel_mask=uniq.group_valid, point_voxel_index=vidx,
+        point_mask=keep)
+
+
+class DynamicVoxelizationOutput(NamedTuple):
+    coors: jnp.ndarray             # (P, 3) int32 per-point voxel coords; -1 invalid
+    point_voxel_index: jnp.ndarray  # (P,) int32 dense voxel slot (max_voxels = trash)
+    voxel_coors: jnp.ndarray       # (max_voxels, 3) int32; -1 pad
+    voxel_mask: jnp.ndarray        # (max_voxels,) bool
+    point_mask: jnp.ndarray        # (P,) bool
+    num_voxels: jnp.ndarray        # () int32 true count (may exceed cap)
+
+
+def voxelize_dynamic(points: jnp.ndarray, point_mask: jnp.ndarray,
+                     point_cloud_range: Sequence[float],
+                     voxel_size: Sequence[float],
+                     max_voxels: int) -> DynamicVoxelizationOutput:
+    """Dynamic voxelization: per-point voxel assignment, no point cap.
+
+    Matches `dynamic_voxelize` semantics (coords only, out-of-range -> -1)
+    but additionally returns the dense voxel table needed downstream.
+    """
+    coors, in_range, grid = compute_voxel_coords(
+        points, point_cloud_range, voxel_size)
+    valid = point_mask & in_range
+    ids = _linearize(coors, grid)
+    uniq = unique_with_ranks(ids, valid, num_groups_cap=max_voxels)
+    keep = valid & (uniq.group_index < max_voxels)
+    vidx = jnp.where(keep, uniq.group_index, max_voxels)
+    vox_coors = jnp.full((max_voxels + 1, 3), -1, jnp.int32)
+    vox_coors = vox_coors.at[vidx].set(
+        jnp.where(keep[:, None], coors, -1), mode="drop")[:max_voxels]
+    out_coors = jnp.where(keep[:, None], coors, -1)
+    return DynamicVoxelizationOutput(
+        coors=out_coors, point_voxel_index=vidx, voxel_coors=vox_coors,
+        voxel_mask=uniq.group_valid, point_mask=keep,
+        num_voxels=uniq.num_groups)
+
+
+def dynamic_scatter(feats: jnp.ndarray, point_voxel_index: jnp.ndarray,
+                    num_voxels_cap: int, mode: str = "max") -> jnp.ndarray:
+    """Reduce per-point features into voxels (DynamicScatter equivalent,
+    `mmdet3d/ops/voxel/scatter_points.py:9`). Differentiable via JAX segment
+    ops (no hand-written backward needed).
+
+    point_voxel_index uses ``num_voxels_cap`` as the trash slot for invalid
+    points (as produced by the voxelizers above).
+    """
+    if mode == "max":
+        out = segment_max(feats, point_voxel_index, num_voxels_cap + 1)
+        # segment_max returns -inf for empty voxels; zero them
+        out = jnp.where(jnp.isfinite(out), out, 0.0)
+    elif mode == "mean":
+        out = segment_mean(feats, point_voxel_index, num_voxels_cap + 1)
+    elif mode == "sum":
+        out = jax.ops.segment_sum(feats, point_voxel_index,
+                                  num_segments=num_voxels_cap + 1)
+    else:
+        raise ValueError(mode)
+    return out[:num_voxels_cap]

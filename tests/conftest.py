@@ -1,0 +1,9 @@
+"""Test env: run JAX on CPU with 8 virtual devices so multi-chip sharding
+tests exercise a real Mesh without TPU hardware."""
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8").strip()
