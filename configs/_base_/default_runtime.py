@@ -1,0 +1,12 @@
+# default runtime (reference `configs/_base_/default_runtime.py`).
+checkpoint_config = dict(interval=1)
+log_config = dict(
+    interval=50,
+    hooks=[dict(type='TextLoggerHook'),
+           dict(type='TensorboardLoggerHook')])
+dist_params = dict(backend='ici')  # TPU: jax.distributed over ICI/DCN
+log_level = 'INFO'
+work_dir = None
+load_from = None
+resume_from = None
+workflow = [('train', 1)]

@@ -1,0 +1,2 @@
+from .voxelnet import VoxelNet, DynamicVoxelNet  # noqa: F401
+from .mvx_two_stage import MVXFasterRCNN, DynamicMVXFasterRCNN  # noqa: F401

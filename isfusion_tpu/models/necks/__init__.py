@@ -1,0 +1,2 @@
+from .second_fpn import SECONDFPN  # noqa: F401
+from .fpn import FPN  # noqa: F401
