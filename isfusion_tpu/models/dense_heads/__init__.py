@@ -1,1 +1,2 @@
 from .anchor3d_head import Anchor3DHead  # noqa: F401
+from .centerpoint_head import CenterHead, SeparateHead  # noqa: F401

@@ -1,2 +1,3 @@
 from .voxelnet import VoxelNet, DynamicVoxelNet  # noqa: F401
 from .mvx_two_stage import MVXFasterRCNN, DynamicMVXFasterRCNN  # noqa: F401
+from .centerpoint import CenterPoint, DynamicCenterPoint  # noqa: F401

@@ -1,1 +1,2 @@
 from .pillar_scatter import PointPillarsScatter  # noqa: F401
+from .sparse_encoder import SparseEncoder  # noqa: F401

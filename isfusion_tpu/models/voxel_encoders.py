@@ -136,14 +136,14 @@ class DynamicSimpleVFE(nn.Module):
     """
 
     num_features: int = 4
-    num_voxels_cap: int = 60000
+    num_voxels_cap: int = 0  # 0 = derive from voxel_coors shape
 
     @nn.compact
     def __call__(self, features: jnp.ndarray, point_voxel_index: jnp.ndarray,
                  voxel_coors: jnp.ndarray = None, train: bool = False
                  ) -> jnp.ndarray:
         b, p, _ = features.shape
-        cap = self.num_voxels_cap
+        cap = int(self.num_voxels_cap) or voxel_coors.shape[1]
         ids = batched_segment_ids(point_voxel_index, cap)
         flat = features[..., : self.num_features].reshape(b * p, -1)
         out = segment_mean(flat, ids, b * (cap + 1))
@@ -169,14 +169,14 @@ class DynamicVFE(nn.Module):
     norm_cfg: Optional[dict] = None
     mode: str = "max"
     return_point_feats: bool = False
-    num_voxels_cap: int = 60000
+    num_voxels_cap: int = 0  # 0 = derive from voxel_coors shape
     axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, features: jnp.ndarray, point_voxel_index: jnp.ndarray,
                  voxel_coors: jnp.ndarray, train: bool = False):
         b, p, _ = features.shape
-        cap = self.num_voxels_cap
+        cap = int(self.num_voxels_cap) or voxel_coors.shape[1]
         nseg = b * (cap + 1)
         ids = batched_segment_ids(point_voxel_index, cap)
         point_mask = (point_voxel_index < cap).reshape(-1)
