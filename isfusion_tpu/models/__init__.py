@@ -9,5 +9,6 @@ from . import voxel_encoders  # noqa: F401
 from . import middle_encoders  # noqa: F401
 from . import backbones  # noqa: F401
 from . import necks  # noqa: F401
+from . import fusion_layers  # noqa: F401
 from . import dense_heads  # noqa: F401
 from . import detectors  # noqa: F401

@@ -1,1 +1,2 @@
 from .second import SECOND, SECONDV2  # noqa: F401
+from .swin import SwinTransformer  # noqa: F401

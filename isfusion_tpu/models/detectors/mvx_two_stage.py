@@ -77,10 +77,27 @@ class MVXTwoStageDetector(nn.Module):
         feats = self.img_backbone_m(flat, train=train)
         if self.img_neck is not None:
             feats = self.img_neck_m(feats, train=train)
+        if not isinstance(feats, (tuple, list)):
+            feats = [feats]
         return [f.reshape((b, n) + f.shape[1:]) for f in feats]
+
+    @staticmethod
+    def calib_from_batch(batch: Optional[dict]) -> Optional[dict]:
+        """Collect projection matrices from the batch (Collect3DV2 keys:
+        lidar2img + img_aug_matrix/lidar_aug_matrix from ImageAug3D /
+        GlobalRotScaleTransV2)."""
+        if not batch or "lidar2img" not in batch or "img" not in batch:
+            return None
+        calib = dict(lidar2img=batch["lidar2img"],
+                     img_input_shape=tuple(batch["img"].shape[2:4]))
+        for k in ("img_aug_matrix", "lidar_aug_matrix"):
+            if k in batch:
+                calib[k] = batch[k]
+        return calib
 
     def extract_pts_feat(self, points, points_mask, img_feats=None,
                          batch=None, train: bool = False):
+        calib = self.calib_from_batch(batch)
         vl = dict(self.pts_voxel_layer)
         max_pts = int(vl.get("max_num_points", 32))
         if max_pts > 0:
@@ -98,7 +115,8 @@ class MVXTwoStageDetector(nn.Module):
                 p, m, vl["point_cloud_range"], vl["voxel_size"], cap))(
                     points, points_mask)
             feats = self.pts_voxel_encoder_m(
-                points, dv.point_voxel_index, dv.voxel_coors, train=train)
+                points, dv.point_voxel_index, dv.voxel_coors, train=train,
+                img_feats=img_feats, calib=calib)
             bev = self.pts_middle_encoder_m(
                 feats, dv.voxel_coors, dv.voxel_mask, train=train)
         x = self.pts_backbone_m(bev, train=train)

@@ -1,2 +1,3 @@
 from .second_fpn import SECONDFPN  # noqa: F401
 from .fpn import FPN  # noqa: F401
+from .generalized_lss import GeneralizedLSSFPN  # noqa: F401

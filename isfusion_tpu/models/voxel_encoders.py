@@ -170,11 +170,13 @@ class DynamicVFE(nn.Module):
     mode: str = "max"
     return_point_feats: bool = False
     num_voxels_cap: int = 0  # 0 = derive from voxel_coors shape
+    fusion_layer: Optional[dict] = None
     axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, features: jnp.ndarray, point_voxel_index: jnp.ndarray,
-                 voxel_coors: jnp.ndarray, train: bool = False):
+                 voxel_coors: jnp.ndarray, train: bool = False,
+                 img_feats=None, calib: Optional[dict] = None):
         b, p, _ = features.shape
         cap = int(self.num_voxels_cap) or voxel_coors.shape[1]
         nseg = b * (cap + 1)
@@ -212,6 +214,15 @@ class DynamicVFE(nn.Module):
                               act_cfg=dict(type="relu"),
                               axis_name=self.axis_name)(x, point_mask,
                                                         train=train)
+            if i == 0 and self.fusion_layer is not None and \
+                    img_feats is not None:
+                # MVX-Net point-wise fusion after the first VFE layer
+                # (`voxel_encoder.py:528-537`)
+                from .builder import build_fusion_layer
+                fl = build_fusion_layer(dict(self.fusion_layer))
+                x = fl(img_feats, features[..., :3],
+                       x.reshape(b, p, -1), point_mask.reshape(b, p),
+                       calib, train=train).reshape(b * p, -1)
             voxel_feats = segment_max(x, ids, nseg)
             voxel_feats = jnp.where(jnp.isfinite(voxel_feats), voxel_feats,
                                     0.0)
