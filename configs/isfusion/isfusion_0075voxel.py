@@ -1,0 +1,194 @@
+# IS-Fusion flagship (nuScenes, 0.075 m voxels) — key-compatible with the
+# reference `configs/isfusion/isfusion_0075voxel.py`.
+class_names = [
+    'car', 'truck', 'construction_vehicle', 'bus', 'trailer', 'barrier',
+    'motorcycle', 'bicycle', 'pedestrian', 'traffic_cone'
+]
+
+voxel_size = [0.075, 0.075, 0.2]
+point_cloud_range = [-54, -54, -5, 54, 54, 3]
+img_scale = (384, 1056)
+
+total_epochs = 10
+
+out_size_factor = 8
+voxel_shape = int((point_cloud_range[3] - point_cloud_range[0])
+                  // voxel_size[0])                      # 1440
+bev_size = voxel_shape // out_size_factor                # 180
+grid_size = [[bev_size, bev_size, 1], [bev_size // 2, bev_size // 2, 1]]
+region_shape = [(6, 6, 1), (6, 6, 1)]
+region_drop_info = [
+    {0: {'max_tokens': 36, 'drop_range': (0, 100000)}},
+    {0: {'max_tokens': 36, 'drop_range': (0, 100000)}},
+]
+
+# fixed capacities for the static-shape TPU pipeline
+max_points = 250000          # padded point budget (10 sweeps)
+max_voxels = (120000, 160000)
+pillar_max_voxels = (30000, 60000)
+
+model = dict(
+    type='ISFusionDetector',
+
+    detach=True,
+    pc_range=point_cloud_range,
+    voxel_size=voxel_size,
+    out_size_factor=out_size_factor,
+    pillar_max_voxels=pillar_max_voxels,
+
+    img_backbone=dict(
+        type='SwinTransformer',
+        embed_dims=96,
+        depths=[2, 2, 6, 2],
+        num_heads=[3, 6, 12, 24],
+        window_size=7,
+        mlp_ratio=4,
+        qkv_bias=True,
+        qk_scale=None,
+        drop_rate=0.0,
+        attn_drop_rate=0.0,
+        drop_path_rate=0.2,
+        patch_norm=True,
+        out_indices=[1, 2, 3],
+        with_cp=False,
+        convert_weights=False),
+    img_neck=dict(
+        type='GeneralizedLSSFPN',
+        in_channels=[192, 384, 768],
+        out_channels=256,
+        start_level=0,
+        num_outs=3),
+
+    pts_voxel_layer=dict(
+        point_cloud_range=point_cloud_range,
+        max_num_points=-1, voxel_size=voxel_size, max_voxels=max_voxels),
+    pts_voxel_encoder=dict(
+        type='DynamicVFE',
+        in_channels=5,
+        feat_channels=[64, 64],
+        with_distance=False,
+        voxel_size=voxel_size,
+        with_cluster_center=True,
+        with_voxel_center=True,
+        point_cloud_range=point_cloud_range,
+        norm_cfg=dict(type='naiveSyncBN1d', eps=1e-3, momentum=0.01)),
+    pts_middle_encoder=dict(
+        type='SparseEncoder',
+        in_channels=64,
+        sparse_shape=[41, voxel_shape, voxel_shape],
+        base_channels=32,
+        output_channels=256,
+        order=('conv', 'norm', 'act'),
+        encoder_channels=((32, 32, 64), (64, 64, 128), (128, 128, 256),
+                          (256, 256)),
+        encoder_paddings=((0, 0, 1), (0, 0, 1), (0, 0, [0, 1, 1]), (0, 0)),
+        block_type='basicblock'),
+
+    fusion_encoder=dict(
+        type='ISFusionEncoder',
+        num_points_in_pillar=12,
+        embed_dims=256,
+        num_classes=len(class_names),
+        bev_size=bev_size,
+        num_views=6,
+        region_shape=region_shape,
+        grid_size=grid_size,
+        region_drop_info=region_drop_info,
+        instance_num=200),
+
+    pts_backbone=dict(
+        type='SECONDV2',
+        in_channels=128,
+        out_channels=[128, 256],
+        layer_nums=[5, 5],
+        layer_strides=[1, 2],
+        norm_cfg=dict(type='BN', eps=1e-3, momentum=0.01),
+        conv_cfg=dict(type='Conv2d', bias=False)),
+
+    pts_neck=dict(
+        type='SECONDFPN',
+        in_channels=[128, 256],
+        out_channels=[256, 256],
+        upsample_strides=[1, 2],
+        norm_cfg=dict(type='BN', eps=1e-3, momentum=0.01),
+        upsample_cfg=dict(type='deconv', bias=False),
+        use_conv_for_no_stride=True),
+
+    pts_bbox_head=dict(
+        type='TransFusionHeadV2',
+        num_proposals=200,
+        auxiliary=True,
+        in_channels=256 * 2,
+        hidden_channel=128,
+        num_classes=len(class_names),
+        num_decoder_layers=1,
+        num_heads=8,
+        nms_kernel_size=3,
+        ffn_channel=256,
+        dropout=0.1,
+        bn_momentum=0.1,
+        activation='relu',
+        common_heads=dict(center=(2, 2), height=(1, 2), dim=(3, 2),
+                          rot=(2, 2), vel=(2, 2)),
+        bbox_coder=dict(
+            type='TransFusionBBoxCoder',
+            pc_range=point_cloud_range[:2],
+            voxel_size=voxel_size[:2],
+            out_size_factor=out_size_factor,
+            post_center_range=[-61.2, -61.2, -10.0, 61.2, 61.2, 10.0],
+            score_threshold=0.0,
+            code_size=10),
+        loss_cls=dict(type='FocalLoss', use_sigmoid=True, gamma=2,
+                      alpha=0.25, reduction='mean', loss_weight=1.0),
+        loss_bbox=dict(type='L1Loss', reduction='mean', loss_weight=0.25),
+        loss_heatmap=dict(type='GaussianFocalLoss', reduction='mean',
+                          loss_weight=1.0)),
+
+    train_cfg=dict(
+        pts=dict(
+            dataset='nuScenes',
+            assigner=dict(
+                type='HungarianAssigner3D',
+                iou_calculator=dict(type='BboxOverlaps3D',
+                                    coordinate='lidar'),
+                cls_cost=dict(type='FocalLossCost', gamma=2, alpha=0.25,
+                              weight=0.15),
+                reg_cost=dict(type='BBoxBEVL1Cost', weight=0.25),
+                iou_cost=dict(type='IoU3DCost', weight=0.25)),
+            pos_weight=-1,
+            gaussian_overlap=0.1,
+            min_radius=2,
+            grid_size=[voxel_shape, voxel_shape, 40],
+            voxel_size=voxel_size,
+            out_size_factor=out_size_factor,
+            code_weights=[1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 0.2, 0.2],
+            point_cloud_range=point_cloud_range)),
+    test_cfg=dict(
+        pts=dict(
+            dataset='nuScenes',
+            grid_size=[voxel_shape, voxel_shape, 40],
+            out_size_factor=out_size_factor,
+            pc_range=point_cloud_range[0:2],
+            voxel_size=voxel_size[:2],
+            nms_type=None,
+            use_rotate_nms=True,
+            nms_thr=0.2,
+            max_num=200)))
+
+dataset_type = 'NuScenesDataset'
+data_root = 'data/nuscenes/'
+input_modality = dict(use_lidar=True, use_camera=True, use_radar=False,
+                      use_map=False, use_external=False)
+
+optimizer = dict(
+    type='AdamW', lr=0.0001, weight_decay=0.01,
+    paramwise_cfg=dict(custom_keys={'img_backbone': dict(lr_mult=0.1)}))
+optimizer_config = dict(grad_clip=dict(max_norm=0.01, norm_type=2))
+lr_config = dict(policy='cyclic', target_ratio=(10, 0.0001),
+                 cyclic_times=1, step_ratio_up=0.4)
+momentum_config = dict(policy='cyclic', target_ratio=(0.8947368421052632, 1),
+                       cyclic_times=1, step_ratio_up=0.4)
+runner = dict(type='CustomEpochBasedRunner', max_epochs=total_epochs)
+checkpoint_config = dict(interval=1)
+log_config = dict(interval=50)
+dist_params = dict(backend='nccl')  # ignored: jax.distributed + SPMD mesh

@@ -3,3 +3,4 @@ from .structures import (  # noqa: F401
     DepthInstance3DBoxes, Box3DMode, get_box_type, limit_period,
     rotation_3d_in_axis, xywhr2xyxyr)
 from . import box_np_ops  # noqa: F401
+from .assigners import HungarianAssigner3D, AssignResult  # noqa: F401

@@ -1,0 +1,281 @@
+"""nuScenes dataset.
+
+Parity: `mmdet3d/datasets/nuscenes_dataset.py:17` — info-pkl loading,
+`get_data_info:194` (per-cam lidar2img/aug matrices), `_format_bbox:352`
+(LiDAR box -> global frame -> nuScenes submission json),
+`_evaluate_single:421` / `evaluate:523` (nuScenes detection metrics),
+CBGS support via `get_cat_ids:154`.
+
+The environment has no nuscenes-devkit/pyquaternion; quaternion math is
+implemented in numpy and, when the devkit is absent, `evaluate` falls back
+to a self-contained implementation of the nuScenes detection protocol
+(center-distance matching at 0.5/1/2/4 m, class AP averaging, TP errors,
+NDS) over the info-pkl ground truth.
+"""
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from ..registry import DATASETS
+from .custom_3d import Custom3DDataset
+
+
+def quat_to_rot(q) -> np.ndarray:
+    """(w, x, y, z) quaternion -> 3x3 rotation matrix."""
+    w, x, y, z = [float(v) for v in q]
+    n = w * w + x * x + y * y + z * z
+    s = 0.0 if n < 1e-12 else 2.0 / n
+    wx, wy, wz = s * w * x, s * w * y, s * w * z
+    xx, xy, xz = s * x * x, s * x * y, s * x * z
+    yy, yz, zz = s * y * y, s * y * z, s * z * z
+    return np.array([
+        [1 - (yy + zz), xy - wz, xz + wy],
+        [xy + wz, 1 - (xx + zz), yz - wx],
+        [xz - wy, yz + wx, 1 - (xx + yy)]], np.float64)
+
+
+def yaw_to_quat(yaw: float) -> List[float]:
+    return [float(np.cos(yaw / 2)), 0.0, 0.0, float(np.sin(yaw / 2))]
+
+
+def rot_to_yaw(r: np.ndarray) -> float:
+    return float(np.arctan2(r[1, 0], r[0, 0]))
+
+
+@DATASETS.register_module()
+class NuScenesDataset(Custom3DDataset):
+    CLASSES = ('car', 'truck', 'trailer', 'bus', 'construction_vehicle',
+               'bicycle', 'motorcycle', 'pedestrian', 'traffic_cone',
+               'barrier')
+    NameMapping = {
+        'movable_object.barrier': 'barrier',
+        'vehicle.bicycle': 'bicycle',
+        'vehicle.bus.bendy': 'bus',
+        'vehicle.bus.rigid': 'bus',
+        'vehicle.car': 'car',
+        'vehicle.construction': 'construction_vehicle',
+        'vehicle.motorcycle': 'motorcycle',
+        'human.pedestrian.adult': 'pedestrian',
+        'human.pedestrian.child': 'pedestrian',
+        'human.pedestrian.construction_worker': 'pedestrian',
+        'human.pedestrian.police_officer': 'pedestrian',
+        'movable_object.trafficcone': 'traffic_cone',
+        'vehicle.trailer': 'trailer',
+        'vehicle.truck': 'truck'}
+    DefaultAttribute = {
+        'car': 'vehicle.parked', 'pedestrian': 'pedestrian.moving',
+        'trailer': 'vehicle.parked', 'truck': 'vehicle.parked',
+        'bus': 'vehicle.moving', 'motorcycle': 'cycle.without_rider',
+        'construction_vehicle': 'vehicle.parked',
+        'bicycle': 'cycle.without_rider', 'barrier': '',
+        'traffic_cone': ''}
+
+    def __init__(self, ann_file: str, pipeline=None, data_root: str = "",
+                 classes=None, load_interval: int = 1,
+                 with_velocity: bool = True, modality=None,
+                 box_type_3d: str = "LiDAR", filter_empty_gt: bool = True,
+                 test_mode: bool = False, eval_version: str = "detection_cvpr_2019",
+                 use_valid_flag: bool = False, **kwargs):
+        self.load_interval = load_interval
+        self.with_velocity = with_velocity
+        self.use_valid_flag = use_valid_flag
+        self.eval_version = eval_version
+        super().__init__(data_root=data_root, ann_file=ann_file,
+                         pipeline=pipeline, classes=classes,
+                         modality=modality or dict(
+                             use_camera=False, use_lidar=True),
+                         box_type_3d=box_type_3d,
+                         filter_empty_gt=filter_empty_gt,
+                         test_mode=test_mode, **kwargs)
+
+    def load_annotations(self, ann_file: str) -> List[dict]:
+        infos = super().load_annotations(ann_file)
+        infos = sorted(infos, key=lambda e: e.get("timestamp", 0))
+        return infos[::self.load_interval]
+
+    def get_cat_ids(self, idx: int) -> List[int]:
+        info = self.data_infos[idx]
+        if self.use_valid_flag:
+            mask = np.asarray(info["valid_flag"], bool)
+            names = np.asarray(info["gt_names"])[mask]
+        else:
+            names = np.asarray(info["gt_names"])
+        return [self.cat2id[n] for n in set(names.tolist())
+                if n in self.cat2id]
+
+    # ---------------------------------------------------------- data info
+    def get_data_info(self, index: int) -> dict:
+        info = self.data_infos[index]
+        input_dict = dict(
+            sample_idx=index,
+            token=info["token"],
+            pts_filename=info["lidar_path"],
+            sweeps=info.get("sweeps", []),
+            timestamp=info.get("timestamp", 0),
+            num_views=len(info.get("cams", {})) or 6,
+        )
+        if self.modality.get("use_camera") and "cams" in info:
+            img_paths, lidar2img, intrinsics, cam2lidar = [], [], [], []
+            for cam_type, cam_info in info["cams"].items():
+                img_paths.append(cam_info["data_path"])
+                r = np.asarray(cam_info["sensor2lidar_rotation"], np.float64)
+                t = np.asarray(cam_info["sensor2lidar_translation"],
+                               np.float64)
+                lidar2cam_r = np.linalg.inv(r)
+                lidar2cam_t = t @ lidar2cam_r.T
+                lidar2cam = np.eye(4)
+                lidar2cam[:3, :3] = lidar2cam_r.T
+                lidar2cam[3, :3] = -lidar2cam_t
+                intr = np.asarray(cam_info["cam_intrinsic"], np.float64)
+                viewpad = np.eye(4)
+                viewpad[:intr.shape[0], :intr.shape[1]] = intr
+                lidar2img.append((viewpad @ lidar2cam.T).astype(np.float32))
+                intrinsics.append(intr.astype(np.float32))
+                c2l = np.eye(4)
+                c2l[:3, :3] = r
+                c2l[:3, 3] = t
+                cam2lidar.append(c2l.astype(np.float32))
+            input_dict.update(dict(
+                img_filename=img_paths,
+                lidar2img=np.stack(lidar2img),
+                camera_intrinsics=np.stack(intrinsics),
+                camera2lidar=np.stack(cam2lidar)))
+        if not self.test_mode:
+            input_dict["ann_info"] = self.get_ann_info(index)
+        return input_dict
+
+    def get_ann_info(self, index: int) -> dict:
+        info = self.data_infos[index]
+        if self.use_valid_flag:
+            mask = np.asarray(info["valid_flag"], bool)
+        else:
+            mask = np.asarray(info.get(
+                "num_lidar_pts", np.ones(len(info["gt_names"])))) > 0
+        boxes = np.asarray(info["gt_boxes"], np.float32)[mask]
+        names = np.asarray(info["gt_names"])[mask]
+        labels = np.asarray(
+            [self.cat2id.get(n, -1) for n in names], np.int64)
+        if self.with_velocity:
+            vel = np.asarray(info["gt_velocity"], np.float32)[mask]
+            vel = np.nan_to_num(vel)
+            boxes = np.concatenate([boxes, vel], axis=-1)
+        gt_bboxes_3d = self.box_type_3d(
+            boxes, box_dim=boxes.shape[-1], origin=(0.5, 0.5, 0.5))
+        return dict(gt_bboxes_3d=gt_bboxes_3d, gt_labels_3d=labels,
+                    gt_names=names)
+
+    # ------------------------------------------------------------ results
+    def _box_to_global(self, info: dict, box: np.ndarray):
+        """LiDAR-frame (x,y,z_bottom,dx,dy,dz,yaw,vx,vy) -> global-frame
+        (center, size(wlh), yaw, vel) — `lidar_nusc_box_to_global:667`."""
+        center = box[:3].copy().astype(np.float64)
+        center[2] += box[5] / 2.0
+        yaw = float(box[6])
+        vel = np.array([box[7], box[8], 0.0]) if box.shape[0] >= 9 else \
+            np.zeros(3)
+        l2e_r = quat_to_rot(info["lidar2ego_rotation"])
+        l2e_t = np.asarray(info["lidar2ego_translation"], np.float64)
+        e2g_r = quat_to_rot(info["ego2global_rotation"])
+        e2g_t = np.asarray(info["ego2global_translation"], np.float64)
+        center = e2g_r @ (l2e_r @ center + l2e_t) + e2g_t
+        rot = e2g_r @ l2e_r
+        yaw_g = rot_to_yaw(
+            rot @ np.array([[np.cos(yaw), -np.sin(yaw), 0],
+                            [np.sin(yaw), np.cos(yaw), 0], [0, 0, 1]]))
+        vel_g = e2g_r @ (l2e_r @ vel)
+        size_wlh = [float(box[3]), float(box[4]), float(box[5])]  # w, l, h
+        return center, size_wlh, yaw_g, vel_g[:2]
+
+    def _format_bbox(self, results: List[dict],
+                     jsonfile_prefix: Optional[str] = None) -> str:
+        """results: per-sample dict(bboxes (K,9), scores (K,), labels (K,),
+        mask (K,)). Writes the nuScenes submission json
+        (`_format_bbox:352`)."""
+        nusc_annos: Dict[str, list] = {}
+        for idx, det in enumerate(results):
+            info = self.data_infos[idx]
+            token = info["token"]
+            annos = []
+            boxes = np.asarray(det["bboxes"])
+            scores = np.asarray(det["scores"])
+            labels = np.asarray(det["labels"])
+            mask = np.asarray(det.get("mask",
+                                      np.ones(len(scores), bool))).astype(
+                                          bool)
+            for i in np.nonzero(mask)[0]:
+                name = self.CLASSES[int(labels[i])]
+                center, size, yaw, vel = self._box_to_global(info, boxes[i])
+                speed = float(np.linalg.norm(vel))
+                if speed > 0.2 and name in (
+                        'car', 'construction_vehicle', 'bus', 'truck',
+                        'trailer'):
+                    attr = 'vehicle.moving'
+                elif speed > 0.2 and name in ('bicycle', 'motorcycle'):
+                    attr = 'cycle.with_rider'
+                else:
+                    attr = self.DefaultAttribute[name]
+                annos.append(dict(
+                    sample_token=token,
+                    translation=[float(v) for v in center],
+                    size=size,
+                    rotation=yaw_to_quat(yaw),
+                    velocity=[float(v) for v in vel],
+                    detection_name=name,
+                    detection_score=float(scores[i]),
+                    attribute_name=attr))
+            nusc_annos[token] = annos
+        submission = dict(
+            meta=dict(use_camera=bool(self.modality.get("use_camera")),
+                      use_lidar=bool(self.modality.get("use_lidar", True)),
+                      use_radar=False, use_map=False, use_external=False),
+            results=nusc_annos)
+        prefix = jsonfile_prefix or "results"
+        os.makedirs(prefix, exist_ok=True)
+        path = os.path.join(prefix, "results_nusc.json")
+        with open(path, "w") as f:
+            json.dump(submission, f)
+        return path
+
+    def format_results(self, results, jsonfile_prefix=None):
+        return self._format_bbox(results, jsonfile_prefix), None
+
+    # ----------------------------------------------------------- evaluate
+    def evaluate(self, results: List[dict], metric: str = "bbox",
+                 jsonfile_prefix: Optional[str] = None, **kwargs) -> dict:
+        try:
+            import nuscenes  # noqa: F401
+            has_devkit = True
+        except ImportError:
+            has_devkit = False
+        if has_devkit and kwargs.get("use_devkit", True) and \
+                os.path.isdir(os.path.join(self.data_root, "v1.0-trainval")):
+            return self._evaluate_devkit(results, jsonfile_prefix)
+        return self._evaluate_internal(results)
+
+    def _evaluate_devkit(self, results, jsonfile_prefix):
+        from nuscenes import NuScenes
+        from nuscenes.eval.detection.evaluate import NuScenesEval
+        from nuscenes.eval.detection.config import config_factory
+        res_path = self._format_bbox(results, jsonfile_prefix)
+        nusc = NuScenes(version=self.metadata.get("version", "v1.0-trainval"),
+                        dataroot=self.data_root, verbose=False)
+        nusc_eval = NuScenesEval(
+            nusc, config=config_factory(self.eval_version),
+            result_path=res_path, eval_set="val",
+            output_dir=os.path.dirname(res_path), verbose=False)
+        metrics = nusc_eval.main(render_curves=False)
+        return dict(mAP=metrics["mean_ap"], NDS=metrics["nd_score"])
+
+    def _evaluate_internal(self, results: List[dict]) -> dict:
+        """Self-contained nuScenes detection protocol over info-pkl GT."""
+        from ..core.evaluation.nuscenes_eval import nuscenes_style_eval
+        gts = []
+        for idx in range(len(results)):
+            ann = self.get_ann_info(idx)
+            gts.append(dict(boxes=ann["gt_bboxes_3d"].numpy(),
+                            labels=ann["gt_labels_3d"]))
+        return nuscenes_style_eval(results, gts, list(self.CLASSES))

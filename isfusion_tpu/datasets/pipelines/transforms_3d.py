@@ -1,0 +1,301 @@
+"""Augmentation + filtering transforms (host, numpy).
+
+Parity: `mmdet3d/datasets/pipelines/transforms_3d.py` —
+ImageAug3D:46 (BEVFusion-style per-view resize/crop/flip/rot, emits 4x4
+img_aug_matrix), GlobalRotScaleTransV2:1871 (emits lidar_aug_matrix),
+RandomFlip3DV2:1163, ModalMask3D:1828, ObjectSampleV2:1276 (GT-paste with
+stop_epoch), Points/Object Range/Name filters:1950-2060, PointShuffle:1918,
+ImageNormalize:25.
+"""
+from __future__ import annotations
+
+import random
+from typing import Any, Dict, Optional, Sequence
+
+import numpy as np
+
+from ...registry import PIPELINES, build_from_cfg
+
+
+@PIPELINES.register_module()
+class ImageNormalize:
+    """Per-channel normalize; PIL -> float numpy HWC (`:25`)."""
+
+    def __init__(self, mean, std):
+        self.mean = np.asarray(mean, np.float32)
+        self.std = np.asarray(std, np.float32)
+
+    def __call__(self, results: dict) -> dict:
+        imgs = []
+        for img in results["img"]:
+            arr = np.asarray(img, np.float32) / 255.0
+            imgs.append((arr - self.mean) / self.std)
+        results["img"] = imgs
+        results["img_norm_cfg"] = dict(mean=self.mean, std=self.std)
+        return results
+
+
+@PIPELINES.register_module()
+class ImageAug3D:
+    """Per-view resize/crop/flip/rotate with 4x4 pixel-space aug matrix
+    (`transforms_3d.py:46-145`)."""
+
+    def __init__(self, final_dim, resize_lim, bot_pct_lim, rot_lim,
+                 rand_flip: bool, is_train: bool):
+        self.final_dim = final_dim
+        self.resize_lim = resize_lim
+        self.bot_pct_lim = bot_pct_lim
+        self.rot_lim = rot_lim
+        self.rand_flip = rand_flip
+        self.is_train = is_train
+
+    def sample_augmentation(self, results):
+        w, h = results["ori_shape"]
+        fh, fw = self.final_dim
+        if self.is_train:
+            resize = np.random.uniform(*self.resize_lim)
+            new_w, new_h = int(w * resize), int(h * resize)
+            crop_h = int((1 - np.random.uniform(*self.bot_pct_lim))
+                         * new_h) - fh
+            crop_w = int(np.random.uniform(0, max(0, new_w - fw)))
+            crop = (crop_w, crop_h, crop_w + fw, crop_h + fh)
+            flip = bool(self.rand_flip and np.random.choice([0, 1]))
+            rotate = np.random.uniform(*self.rot_lim)
+        else:
+            resize = float(np.mean(self.resize_lim))
+            new_w, new_h = int(w * resize), int(h * resize)
+            crop_h = int((1 - np.mean(self.bot_pct_lim)) * new_h) - fh
+            crop_w = int(max(0, new_w - fw) / 2)
+            crop = (crop_w, crop_h, crop_w + fw, crop_h + fh)
+            flip, rotate = False, 0.0
+        return resize, (new_w, new_h), crop, flip, rotate
+
+    def img_transform(self, img, resize, resize_dims, crop, flip, rotate):
+        from PIL import Image
+        rotation = np.eye(2, dtype=np.float32)
+        translation = np.zeros(2, np.float32)
+        img = img.resize(resize_dims)
+        img = img.crop(crop)
+        if flip:
+            img = img.transpose(method=Image.FLIP_LEFT_RIGHT)
+        img = img.rotate(rotate)
+
+        rotation = rotation * resize
+        translation = translation - np.asarray(crop[:2], np.float32)
+        if flip:
+            a = np.array([[-1, 0], [0, 1]], np.float32)
+            b = np.array([crop[2] - crop[0], 0], np.float32)
+            rotation = a @ rotation
+            translation = a @ translation + b
+        theta = rotate / 180 * np.pi
+        a = np.array([[np.cos(theta), np.sin(theta)],
+                      [-np.sin(theta), np.cos(theta)]], np.float32)
+        b = np.array([crop[2] - crop[0], crop[3] - crop[1]],
+                     np.float32) / 2
+        b = a @ (-b) + b
+        rotation = a @ rotation
+        translation = a @ translation + b
+        return img, rotation, translation
+
+    def __call__(self, data: Dict[str, Any]) -> Dict[str, Any]:
+        if "img" not in data:
+            return data
+        new_imgs, transforms = [], []
+        for img in data["img"]:
+            resize, dims, crop, flip, rotate = self.sample_augmentation(data)
+            new_img, rotation, translation = self.img_transform(
+                img, resize, dims, crop, flip, rotate)
+            t = np.eye(4, dtype=np.float32)
+            t[:2, :2] = rotation
+            t[:2, 3] = translation
+            new_imgs.append(new_img)
+            transforms.append(t)
+        data["img"] = new_imgs
+        data["img_aug_matrix"] = np.stack(transforms)
+        return data
+
+
+@PIPELINES.register_module()
+class GlobalRotScaleTransV2:
+    """Global rot/scale/trans of points+boxes, emitting lidar_aug_matrix
+    (`transforms_3d.py:1871`)."""
+
+    def __init__(self, resize_lim, rot_lim, trans_lim, is_train: bool):
+        self.resize_lim = resize_lim
+        self.rot_lim = rot_lim
+        self.trans_lim = trans_lim
+        self.is_train = is_train
+
+    def __call__(self, data: Dict[str, Any]) -> Dict[str, Any]:
+        transform = np.eye(4, dtype=np.float32)
+        if self.is_train:
+            scale = np.random.uniform(*self.resize_lim)
+            theta = np.random.uniform(*self.rot_lim)
+            translation = np.array(
+                [np.random.normal(0, self.trans_lim) for _ in range(3)],
+                np.float32)
+            if "points" in data:
+                data["points"].rotate(-theta)
+                data["points"].translate(translation)
+                data["points"].scale(scale)
+            gt_boxes = data["gt_bboxes_3d"]
+            rotation = gt_boxes.rotate(theta)
+            gt_boxes.translate(translation)
+            gt_boxes.scale(scale)
+            transform[:3, :3] = rotation.T * scale
+            transform[:3, 3] = translation * scale
+        data["lidar_aug_matrix"] = transform
+        return data
+
+
+@PIPELINES.register_module()
+class RandomFlip3DV2:
+    """BEV flips of points+boxes composed into lidar_aug_matrix
+    (`transforms_3d.py:1163`)."""
+
+    def __call__(self, data: Dict[str, Any]) -> Dict[str, Any]:
+        rotation = np.eye(3, dtype=np.float32)
+        if np.random.choice([0, 1]):
+            rotation = np.array([[1, 0, 0], [0, -1, 0], [0, 0, 1]],
+                                np.float32) @ rotation
+            if "points" in data:
+                data["points"].flip("horizontal")
+            if "gt_bboxes_3d" in data:
+                data["gt_bboxes_3d"].flip("horizontal")
+        if np.random.choice([0, 1]):
+            rotation = np.array([[-1, 0, 0], [0, 1, 0], [0, 0, 1]],
+                                np.float32) @ rotation
+            if "points" in data:
+                data["points"].flip("vertical")
+            if "gt_bboxes_3d" in data:
+                data["gt_bboxes_3d"].flip("vertical")
+        if "lidar_aug_matrix" not in data:
+            data["lidar_aug_matrix"] = np.eye(4, dtype=np.float32)
+        data["lidar_aug_matrix"][:3, :] = \
+            rotation @ data["lidar_aug_matrix"][:3, :]
+        return data
+
+
+@PIPELINES.register_module()
+class ModalMask3D:
+    """Random camera-view dropping (train: 3 of 6 views w.p. 0.5; test:
+    view 0) — `transforms_3d.py:1828`, consumed by the detector as a
+    boolean view mask (`isfusion.py:56-60`)."""
+
+    def __init__(self, mode: str = "train",
+                 dataset_type: str = "NuScenesDataset", stop_epoch=None,
+                 **kwargs):
+        self.mode = mode
+        self.dataset_type = dataset_type
+        self.stop_epoch = stop_epoch
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+
+    def __call__(self, data: dict) -> dict:
+        n = len(data["img"]) if isinstance(data.get("img"), (list, tuple)) \
+            else int(data.get("num_views", 6))
+        mask = np.ones((n,), bool)
+        if self.mode == "test":
+            mask[0] = False
+        elif self.stop_epoch is None or self.epoch < self.stop_epoch:
+            if np.random.rand() > 0.5:
+                k = 3 if self.dataset_type == "NuScenesDataset" else 2
+                mask[random.sample(range(n), k)] = False
+        data["img_view_mask"] = mask
+        return data
+
+
+@PIPELINES.register_module()
+class PointsRangeFilter:
+    """Keep points inside point_cloud_range (`transforms_3d.py:2002`)."""
+
+    def __init__(self, point_cloud_range):
+        self.pcr = np.asarray(point_cloud_range, np.float32)
+
+    def __call__(self, data: dict) -> dict:
+        mask = data["points"].in_range_3d(self.pcr)
+        data["points"] = data["points"][mask]
+        return data
+
+
+@PIPELINES.register_module()
+class ObjectRangeFilter:
+    """Keep GT boxes whose BEV center is inside range
+    (`transforms_3d.py:1950`)."""
+
+    def __init__(self, point_cloud_range):
+        self.pcr = np.asarray(point_cloud_range, np.float32)
+
+    def __call__(self, data: dict) -> dict:
+        boxes = data["gt_bboxes_3d"]
+        mask = boxes.in_range_bev(self.pcr[[0, 1, 3, 4]])
+        data["gt_bboxes_3d"] = boxes[mask]
+        data["gt_labels_3d"] = data["gt_labels_3d"][mask]
+        data["gt_bboxes_3d"].limit_yaw(offset=0.5, period=2 * np.pi)
+        return data
+
+
+@PIPELINES.register_module()
+class ObjectNameFilter:
+    """Keep GTs whose class is in ``classes`` (`transforms_3d.py:2047`)."""
+
+    def __init__(self, classes):
+        self.labels = list(range(len(classes)))
+
+    def __call__(self, data: dict) -> dict:
+        mask = np.isin(data["gt_labels_3d"], self.labels)
+        data["gt_bboxes_3d"] = data["gt_bboxes_3d"][mask]
+        data["gt_labels_3d"] = data["gt_labels_3d"][mask]
+        return data
+
+
+@PIPELINES.register_module()
+class PointShuffle:
+    def __call__(self, data: dict) -> dict:
+        data["points"].shuffle()
+        return data
+
+
+@PIPELINES.register_module()
+class ObjectSampleV2:
+    """GT-paste augmentation wrapper with epoch schedule
+    (`transforms_3d.py:1276`; sampler = MMDataBaseSamplerV2)."""
+
+    def __init__(self, db_sampler: dict, sample_2d: bool = True,
+                 stop_epoch: Optional[int] = None):
+        from ...registry import OBJECT_SAMPLERS
+        cfg = dict(db_sampler)
+        cfg.setdefault("type", "MMDataBaseSamplerV2")
+        self.db_sampler = build_from_cfg(cfg, OBJECT_SAMPLERS)
+        self.sample_2d = sample_2d
+        self.stop_epoch = stop_epoch
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+
+    def __call__(self, data: dict) -> dict:
+        if self.stop_epoch is not None and self.epoch >= self.stop_epoch:
+            return data
+        sampled = self.db_sampler.sample_all(
+            data["gt_bboxes_3d"].numpy(), data["gt_labels_3d"],
+            imgs=data.get("img"), calib=data)
+        if sampled is None:
+            return data
+        data["gt_bboxes_3d"] = data["gt_bboxes_3d"].new_box(
+            np.concatenate([data["gt_bboxes_3d"].numpy(),
+                            sampled["gt_bboxes_3d"]], 0))
+        data["gt_labels_3d"] = np.concatenate(
+            [data["gt_labels_3d"], sampled["gt_labels_3d"]], 0)
+        points = data["points"]
+        # remove real points inside pasted boxes, then add object points
+        from ...core.bbox.box_np_ops import points_in_rbbox
+        masks = points_in_rbbox(points.numpy(), sampled["gt_bboxes_3d"])
+        points = points[~masks.any(-1)]
+        data["points"] = points.new_point(
+            np.concatenate([sampled["points"], points.numpy()], 0))
+        if self.sample_2d and sampled.get("imgs") is not None:
+            data["img"] = sampled["imgs"]
+        return data

@@ -17,6 +17,59 @@ REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 POINTPILLARS_CFG = os.path.join(
     REPO_ROOT, "configs", "pointpillars",
     "hv_pointpillars_secfpn_sbn-all_4x8_2x_nus-3d.py")
+ISFUSION_CFG = os.path.join(
+    REPO_ROOT, "configs", "isfusion", "isfusion_0075voxel.py")
+
+
+def synthetic_multimodal_batch(batch_size: int, num_points: int = 200000,
+                               num_views: int = 6, img_hw=(384, 1056),
+                               num_gt: int = 64, seed: int = 0,
+                               pcr=(-54, -54, -5, 54, 54, 3)) -> dict:
+    """nuScenes-scale synthetic LiDAR + 6-camera batch with plausible
+    pinhole projection matrices (cameras on a 360-degree ring)."""
+    import jax.numpy as jnp
+    base = synthetic_points_batch(batch_size, num_points, num_gt, seed, pcr)
+    rng = np.random.default_rng(seed + 1)
+    h, w = img_hw
+    img = rng.uniform(size=(batch_size, num_views, h, w, 3)).astype(
+        np.float32)
+    f = 0.6 * w
+    K = np.array([[f, 0, w / 2, 0], [0, f, h / 2, 0],
+                  [0, 0, 1, 0], [0, 0, 0, 1]], np.float32)
+    l2i = np.zeros((num_views, 4, 4), np.float32)
+    for v in range(num_views):
+        th = 2 * np.pi * v / num_views
+        fwd = np.array([np.cos(th), np.sin(th), 0.0])
+        left = np.array([-np.sin(th), np.cos(th), 0.0])
+        up = np.array([0.0, 0.0, 1.0])
+        R = np.eye(4, dtype=np.float32)
+        R[0, :3] = -left   # cam x = right
+        R[1, :3] = -up     # cam y = down
+        R[2, :3] = fwd     # cam z = forward
+        l2i[v] = K @ R
+    base["img"] = jnp.asarray(img)
+    base["lidar2img"] = jnp.asarray(
+        np.broadcast_to(l2i, (batch_size, num_views, 4, 4)).copy())
+    return base
+
+
+def build_isfusion_flagship(tiny: bool = False):
+    """(model, batch_fn) for the full IS-Fusion stack. ``tiny`` shrinks
+    point/voxel/pillar capacities and image size (same topology)."""
+    from .config import Config
+    from .models import build_detector
+
+    cfg = Config.fromfile(ISFUSION_CFG)
+    model_cfg = dict(cfg.model)
+    if tiny:
+        model_cfg["pts_voxel_layer"] = dict(
+            model_cfg["pts_voxel_layer"], max_voxels=(8000, 8000))
+        model_cfg["pillar_max_voxels"] = (2000, 2000)
+        batch_fn = lambda b: synthetic_multimodal_batch(  # noqa: E731
+            b, num_points=8192, num_views=2, img_hw=(128, 352), num_gt=16)
+    else:
+        batch_fn = lambda b: synthetic_multimodal_batch(b)  # noqa: E731
+    return build_detector(model_cfg), batch_fn
 
 
 def synthetic_points_batch(batch_size: int, num_points: int = 120000,
@@ -52,7 +105,10 @@ def build_flagship(tiny: bool = False) -> Tuple[object, Callable[[int], dict]]:
 
     ``tiny=True`` shrinks point/voxel capacities and the BEV grid for
     CPU-mesh dry runs; shapes stay static either way.
+    Set FLAGSHIP_MODEL=isfusion to use the full IS-Fusion stack.
     """
+    if os.environ.get("FLAGSHIP_MODEL", "").lower() == "isfusion":
+        return build_isfusion_flagship(tiny=tiny)
     from .config import Config
     from .models import build_detector
 

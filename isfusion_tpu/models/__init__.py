@@ -4,6 +4,8 @@ from .builder import (  # noqa: F401
 
 # Import submodules for registration side effects.
 from . import layers  # noqa: F401
+from . import transformer  # noqa: F401
+from . import sst  # noqa: F401
 from . import losses  # noqa: F401
 from . import voxel_encoders  # noqa: F401
 from . import middle_encoders  # noqa: F401

@@ -1,2 +1,3 @@
 from .pillar_scatter import PointPillarsScatter  # noqa: F401
 from .sparse_encoder import SparseEncoder  # noqa: F401
+from .isfusion_encoder import ISFusionEncoder  # noqa: F401

@@ -33,6 +33,12 @@ def create_mesh(data: Optional[int] = None, model: int = 1,
     return Mesh(arr, axis_names=("data", "model"))
 
 
+def make_data_mesh(devices: Optional[Sequence] = None) -> Mesh:
+    """Pure data-parallel 1-axis mesh over all (local+remote) devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    return Mesh(np.asarray(devices), axis_names=("data",))
+
+
 def data_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("data"))
 

@@ -36,7 +36,9 @@ class TrainState:
 
 
 def total_loss(losses: dict) -> jnp.ndarray:
-    return sum(jnp.sum(v) for v in losses.values())
+    """Sum entries whose key contains 'loss' (mmcv parse_losses semantics —
+    other entries, e.g. matched_ious, are diagnostics)."""
+    return sum(jnp.sum(v) for k, v in losses.items() if "loss" in k)
 
 
 def make_train_step(model, tx: optax.GradientTransformation,

@@ -101,6 +101,7 @@ SEGMENTORS = Registry("segmentors", parent=MODELS)
 
 DATASETS = Registry("datasets")
 PIPELINES = Registry("pipelines")
+OBJECT_SAMPLERS = Registry("object_samplers")
 
 BBOX_CODERS = Registry("bbox_coders")
 BBOX_ASSIGNERS = Registry("bbox_assigners")

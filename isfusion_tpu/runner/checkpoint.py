@@ -47,3 +47,19 @@ def load_checkpoint(work_dir: str, abstract_state,
             template["meta"] = meta
         restored = mgr.restore(step, args=ocp.args.StandardRestore(template))
         return restored["state"], meta
+
+
+def load_params(work_dir: str, step: Optional[int] = None):
+    """Template-free restore of model variables for inference/eval: returns
+    ({'params': ..., 'batch_stats': ...}, meta) as plain pytrees — no
+    optimizer-state template needed (publish_model.py parity: evaluation
+    does not carry optimizer state)."""
+    with _manager(work_dir) as mgr:
+        step = mgr.latest_step() if step is None else step
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint in {work_dir}")
+        raw = mgr.restore(step)
+        state = raw["state"]
+        meta = raw.get("meta", {})
+        return {"params": state["params"],
+                "batch_stats": state.get("batch_stats", {})}, meta
