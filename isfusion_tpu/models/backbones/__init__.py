@@ -1,2 +1,3 @@
 from .second import SECOND, SECONDV2  # noqa: F401
 from .swin import SwinTransformer  # noqa: F401
+from .resnet import ResNet  # noqa: F401

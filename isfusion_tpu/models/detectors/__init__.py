@@ -2,3 +2,4 @@ from .voxelnet import VoxelNet, DynamicVoxelNet  # noqa: F401
 from .mvx_two_stage import MVXFasterRCNN, DynamicMVXFasterRCNN  # noqa: F401
 from .centerpoint import CenterPoint, DynamicCenterPoint  # noqa: F401
 from .isfusion import ISFusionDetector  # noqa: F401
+from .single_stage_mono3d import FCOSMono3D  # noqa: F401
