@@ -134,6 +134,56 @@ class TransFusionBBoxCoder:
 
 
 @BBOX_CODERS.register_module()
+class PartialBinBasedBBoxCoder:
+    """VoteNet coder (`partial_bin_based_bbox_coder.py:10`): direction as
+    class bin + residual, size as class cluster + residual."""
+
+    def __init__(self, num_dir_bins: int, num_sizes: int,
+                 mean_sizes, with_rot: bool = True):
+        assert len(mean_sizes) == num_sizes
+        self.num_dir_bins = int(num_dir_bins)
+        self.num_sizes = int(num_sizes)
+        self.mean_sizes = jnp.asarray(mean_sizes, jnp.float32)
+        self.with_rot = with_rot
+
+    def angle2class(self, angle: jnp.ndarray):
+        angle = angle % (2 * jnp.pi)
+        per = 2 * jnp.pi / self.num_dir_bins
+        shifted = (angle + per / 2) % (2 * jnp.pi)
+        cls = (shifted / per).astype(jnp.int32) % self.num_dir_bins
+        res = shifted - (cls.astype(angle.dtype) * per + per / 2)
+        return cls, res
+
+    def class2angle(self, cls: jnp.ndarray, res: jnp.ndarray):
+        per = 2 * jnp.pi / self.num_dir_bins
+        return cls.astype(res.dtype) * per + res
+
+    def encode(self, gt_gravity_center, gt_dims, gt_yaw, gt_labels):
+        size_res = gt_dims - self.mean_sizes[gt_labels]
+        if self.with_rot:
+            dir_cls, dir_res = self.angle2class(gt_yaw)
+        else:
+            dir_cls = jnp.zeros(gt_yaw.shape, jnp.int32)
+            dir_res = jnp.zeros_like(gt_yaw)
+        return gt_gravity_center, gt_labels, size_res, dir_cls, dir_res
+
+    def decode(self, center, dir_class_logits, dir_res, size_class_logits,
+               size_res):
+        """center (..., P, 3); dir_class (..., P, nbins); dir_res same;
+        size_class (..., P, nsize); size_res (..., P, nsize, 3)
+        -> (..., P, 7) gravity-center boxes."""
+        dir_cls = jnp.argmax(dir_class_logits, -1)
+        dres = jnp.take_along_axis(dir_res, dir_cls[..., None], -1)[..., 0]
+        yaw = self.class2angle(dir_cls, dres) if self.with_rot else \
+            jnp.zeros(center.shape[:-1], center.dtype)
+        size_cls = jnp.argmax(size_class_logits, -1)
+        sres = jnp.take_along_axis(
+            size_res, size_cls[..., None, None].repeat(3, -1), -2)[..., 0, :]
+        dims = jnp.maximum(self.mean_sizes[size_cls] + sres, 0.01)
+        return jnp.concatenate([center, dims, yaw[..., None]], -1)
+
+
+@BBOX_CODERS.register_module()
 class CenterPointBBoxCoder:
     """CenterPoint heatmap decode (`centerpoint_bbox_coders.py`)."""
 

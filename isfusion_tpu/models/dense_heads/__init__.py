@@ -2,3 +2,4 @@ from .anchor3d_head import Anchor3DHead  # noqa: F401
 from .centerpoint_head import CenterHead, SeparateHead  # noqa: F401
 from .transfusion_head import TransFusionHeadV2  # noqa: F401
 from .fcos_mono3d_head import FCOSMono3DHead  # noqa: F401
+from .vote_head import VoteHead  # noqa: F401

@@ -3,3 +3,5 @@ from .mvx_two_stage import MVXFasterRCNN, DynamicMVXFasterRCNN  # noqa: F401
 from .centerpoint import CenterPoint, DynamicCenterPoint  # noqa: F401
 from .isfusion import ISFusionDetector  # noqa: F401
 from .single_stage_mono3d import FCOSMono3D  # noqa: F401
+from .transfusion import TransFusionDetector  # noqa: F401
+from .votenet import VoteNet  # noqa: F401

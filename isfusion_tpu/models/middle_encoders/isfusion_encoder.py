@@ -219,12 +219,24 @@ class ISFusionEncoder(nn.Module):
     # ------------------------------------------------------ point-to-grid
     def _img_to_bev(self, img_feat, pillars, pillar_coors, pillar_mask,
                     num_points, calib, train: bool) -> jnp.ndarray:
-        """img_feat (B, Nv, h, w, C) one FPN level -> (B, bev, bev, C)."""
+        """img_feat (B, Nv, h, w, C) one FPN level -> (B, bev, bev, C).
+
+        Memory note: a naive all-cameras-at-once gather materializes
+        (Nv * Vp * T, C) x 4 bilinear taps (~16 GB at flagship scale).
+        Cameras are therefore processed with a sequential ``lax.scan`` and
+        points in pillar chunks via ``lax.map``, keeping the live set to
+        one (chunk*T, C) tap at a time while the MXU-facing math is
+        unchanged.
+        """
         b, nv = img_feat.shape[:2]
         vp, t = pillars.shape[1:3]
         img_hw = tuple(calib["img_input_shape"])
         c = img_feat.shape[-1]
         bevsz = self.bev_size
+        # chunk so one tap buffer stays ~100 MB at C=256
+        chunk = max(min(vp, 8192) // 8 * 8, 8)
+        nchunk = -(-vp // chunk)
+        vp_pad = nchunk * chunk
 
         noise = jnp.zeros((b,), jnp.float32)
         if self.random_noise and train:
@@ -240,16 +252,34 @@ class ISFusionEncoder(nn.Module):
         def single(feat_v, pts, coors, pmask, npts, l2i, img_aug,
                    lidar_aug, nz):
             xyz = pts[..., :3].reshape(vp * t, 3)
+            # project to ALL cameras at once (cheap: coords only)
             uv, depth, front = project_points_to_cameras(
                 xyz, l2i, lidar_aug, img_aug)
             uv = uv + nz  # train-time pixel jitter (`:992-996`)
             gx = uv[..., 0] / img_hw[1] * 2 - 1
             gy = uv[..., 1] / img_hw[0] * 2 - 1
             valid = front & (gx > -1) & (gx < 1) & (gy > -1) & (gy < 1)
-            grid = jnp.stack([gx, gy], -1)                # (Nv, VpT, 2)
-            samp = jax.vmap(grid_sample)(feat_v, grid)    # (Nv, VpT, C)
-            samp = jnp.where(valid[..., None], samp, 0.0).sum(0)
-            samp = samp.reshape(vp, t, c)
+            grid = jnp.stack([gx, gy], -1)               # (Nv, VpT, 2)
+            pad = vp_pad * t - vp * t
+            grid = jnp.pad(grid, ((0, 0), (0, pad), (0, 0)))
+            validp = jnp.pad(valid, ((0, 0), (0, pad)))
+            grid = grid.reshape(nv, nchunk, chunk * t, 2)
+            validp = validp.reshape(nv, nchunk, chunk * t)
+
+            def cam_step(acc, cam):
+                feat, g, v = cam
+
+                def chunk_fn(args):
+                    g_c, v_c = args
+                    s = grid_sample(feat, g_c)           # (chunk*T, C)
+                    return jnp.where(v_c[..., None], s, 0.0)
+
+                samp = jax.lax.map(chunk_fn, (g, v))     # (nchunk, cT, C)
+                return acc + samp.reshape(vp_pad * t, c), None
+
+            acc0 = jnp.zeros((vp_pad * t, c), feat_v.dtype)
+            acc, _ = jax.lax.scan(cam_step, acc0, (feat_v, grid, validp))
+            samp = acc[:vp * t].reshape(vp, t, c)
             tmask = (jnp.arange(t)[None, :] < npts[:, None]) & \
                 pmask[:, None]
             pillar_feat = jnp.where(tmask[..., None], samp, 0.0).sum(1)

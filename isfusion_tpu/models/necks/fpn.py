@@ -26,7 +26,8 @@ class FPN(nn.Module):
     num_outs: int = 3
     start_level: int = 0
     end_level: int = -1
-    add_extra_convs: bool = False
+    add_extra_convs: object = False  # False | 'on_output' | 'on_lateral'
+    relu_before_extra_convs: bool = False
     norm_cfg: Optional[dict] = None
     act_cfg: Optional[dict] = None
     axis_name: Optional[str] = None
@@ -52,7 +53,19 @@ class FPN(nn.Module):
                        name=f"fpn_conv_{i}")(laterals[i], train=train)
             for i in range(len(laterals))
         ]
-        # extra levels by stride-2 maxpool of the last output
+        # extra levels: stride-2 convs (FCOS style) or maxpool (mmdet default)
+        extra_idx = 0
         while len(outs) < self.num_outs:
-            outs.append(nn.max_pool(outs[-1], (1, 1), strides=(2, 2)))
+            if self.add_extra_convs:
+                src = outs[-1]
+                if self.relu_before_extra_convs and extra_idx > 0:
+                    src = nn.relu(src)
+                outs.append(ConvModule(
+                    self.out_channels, 3, stride=2, padding=1, bias="auto",
+                    norm_cfg=self.norm_cfg, act_cfg=None,
+                    axis_name=self.axis_name,
+                    name=f"extra_conv_{extra_idx}")(src, train=train))
+                extra_idx += 1
+            else:
+                outs.append(nn.max_pool(outs[-1], (1, 1), strides=(2, 2)))
         return tuple(outs)
