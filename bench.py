@@ -45,12 +45,15 @@ def main() -> None:
     rng = jax.random.PRNGKey(1)
     for i in range(warmup):
         state, metrics = step(state, batch, jax.random.fold_in(rng, i))
-    jax.block_until_ready(metrics["loss"])
+    # block_until_ready does not synchronize through the axon tunnel;
+    # fetching the value does. Steps are sequential via the state thread,
+    # so fetching the last loss forces the whole timed span.
+    float(jax.device_get(metrics["loss"]))
 
     t0 = time.perf_counter()
     for i in range(steps):
         state, metrics = step(state, batch, jax.random.fold_in(rng, 100 + i))
-    jax.block_until_ready(metrics["loss"])
+    float(jax.device_get(metrics["loss"]))
     dt = time.perf_counter() - t0
 
     sps = batch_size * steps / dt

@@ -21,17 +21,31 @@ import jax
 import jax.numpy as jnp
 
 from ...registry import MIDDLE_ENCODERS
-from ...ops.sparse import (SparseGrid, build_sparse_grid, sparse_conv3d,
+from ...ops.sparse import (SparseGrid, build_sparse_grid,
+                           build_subm_rulebook, sparse_conv3d,
                            sparse_to_dense, subm_conv3d)
 from ..layers import MaskedBatchNorm, is_sync_norm
 
 
-def _vmap_subm(sp: SparseGrid, weight: jnp.ndarray) -> jnp.ndarray:
+def _vmap_rulebook(sp: SparseGrid, kernel_size=(3, 3, 3)):
+    grid = sp.grid
+    return jax.vmap(lambda f, c, i, m: build_subm_rulebook(
+        SparseGrid(f, c, i, m, grid), kernel_size))(
+            sp.feats, sp.coords, sp.ids, sp.mask)
+
+
+def _vmap_subm(sp: SparseGrid, weight: jnp.ndarray,
+               rulebook=None) -> jnp.ndarray:
     """subm conv over batched SparseGrid (leading B on arrays)."""
     grid = sp.grid
-    return jax.vmap(lambda f, c, i, m: subm_conv3d(
-        SparseGrid(f, c, i, m, grid), weight))(
-            sp.feats, sp.coords, sp.ids, sp.mask)
+    if rulebook is None:
+        return jax.vmap(lambda f, c, i, m: subm_conv3d(
+            SparseGrid(f, c, i, m, grid), weight))(
+                sp.feats, sp.coords, sp.ids, sp.mask)
+    return jax.vmap(lambda f, c, i, m, rs, rf: subm_conv3d(
+        SparseGrid(f, c, i, m, grid), weight, (rs, rf)))(
+            sp.feats, sp.coords, sp.ids, sp.mask,
+            rulebook[0], rulebook[1])
 
 
 def _vmap_sparse_conv(sp: SparseGrid, weight: jnp.ndarray, stride, padding,
@@ -64,14 +78,17 @@ class _SparseConvModule(nn.Module):
     axis_name: Optional[str] = None
 
     @nn.compact
-    def __call__(self, sp: SparseGrid, train: bool = False) -> SparseGrid:
+    def __call__(self, sp: SparseGrid, train: bool = False,
+                 rulebook=None) -> SparseGrid:
         cin = sp.feats.shape[-1]
         w = self.param(
             "kernel",
             nn.initializers.variance_scaling(1.0, "fan_in", "normal"),
             tuple(self.kernel_size) + (cin, self.out_channels), jnp.float32)
         if self.conv_type == "SubMConv3d":
-            feats = _vmap_subm(sp, w)
+            if tuple(self.kernel_size) != (3, 3, 3):
+                rulebook = None  # rulebooks are built for 3x3x3 kernels
+            feats = _vmap_subm(sp, w, rulebook)
             out = sp._replace(feats=feats)
         else:
             out = _vmap_sparse_conv(
@@ -99,14 +116,17 @@ class _SparseBasicBlock(nn.Module):
     axis_name: Optional[str] = None
 
     @nn.compact
-    def __call__(self, sp: SparseGrid, train: bool = False) -> SparseGrid:
+    def __call__(self, sp: SparseGrid, train: bool = False,
+                 rulebook=None) -> SparseGrid:
         identity = sp.feats
         out = _SparseConvModule(self.channels, norm_cfg=self.norm_cfg,
                                 with_act=True,
-                                axis_name=self.axis_name)(sp, train=train)
+                                axis_name=self.axis_name)(
+            sp, train=train, rulebook=rulebook)
         out = _SparseConvModule(self.channels, norm_cfg=self.norm_cfg,
                                 with_act=False,
-                                axis_name=self.axis_name)(out, train=train)
+                                axis_name=self.axis_name)(
+            out, train=train, rulebook=rulebook)
         x = nn.relu(out.feats + identity)
         x = jnp.where(out.mask[..., None], x, 0.0)
         return out._replace(feats=x)
@@ -153,9 +173,14 @@ class SparseEncoder(nn.Module):
         sp = jax.vmap(build)(voxel_features, coors, voxel_mask)
         sp = SparseGrid(sp.feats, sp.coords, sp.ids, sp.mask, grid)
 
+        # one subm rulebook per active-site set (recomputed only after a
+        # strided conv changes the sites) — neighbor search is the dominant
+        # cost, the convs themselves are gather+GEMM.
+        rulebook = _vmap_rulebook(sp)
         sp = _SparseConvModule(self.base_channels, norm_cfg=norm_cfg,
                                axis_name=self.axis_name,
-                               name="conv_input")(sp, train=train)
+                               name="conv_input")(sp, train=train,
+                                                  rulebook=rulebook)
 
         def cap_for(stage: int) -> int:
             r = self.stage_cap_ratios[min(stage,
@@ -176,6 +201,7 @@ class SparseEncoder(nn.Module):
                         conv_type="SparseConv3d", out_cap=cap_for(i),
                         norm_cfg=norm_cfg, axis_name=self.axis_name,
                         name=name)(sp, train=train)
+                    rulebook = _vmap_rulebook(sp)
                 elif self.block_type == "basicblock":
                     if j == len(blocks) - 1 and \
                             i != len(self.encoder_channels) - 1:
@@ -184,20 +210,23 @@ class SparseEncoder(nn.Module):
                             conv_type="SparseConv3d", out_cap=cap_for(i + 1),
                             norm_cfg=norm_cfg, axis_name=self.axis_name,
                             name=name)(sp, train=train)
+                        rulebook = _vmap_rulebook(sp)
                     else:
                         if in_ch != out_ch:
                             sp = _SparseConvModule(
                                 out_ch, norm_cfg=norm_cfg,
                                 axis_name=self.axis_name,
-                                name=name + "_proj")(sp, train=train)
+                                name=name + "_proj")(sp, train=train,
+                                                     rulebook=rulebook)
                         sp = _SparseBasicBlock(
                             out_ch, norm_cfg=norm_cfg,
                             axis_name=self.axis_name, name=name)(
-                                sp, train=train)
+                                sp, train=train, rulebook=rulebook)
                 else:
                     sp = _SparseConvModule(
                         out_ch, padding=pad, norm_cfg=norm_cfg,
-                        axis_name=self.axis_name, name=name)(sp, train=train)
+                        axis_name=self.axis_name, name=name)(
+                            sp, train=train, rulebook=rulebook)
                 in_ch = out_ch
             encode_features.append(sp)
 
