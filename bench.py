@@ -1,11 +1,17 @@
 """Benchmark harness: prints ONE JSON line with the headline metric.
 
-Measures flagship-model training throughput (samples/sec) on one chip with
-synthetic fixed-shape nuScenes-scale inputs. Baseline: the reference's
-published PointPillars training throughput, 107 samples/s on 8 GPUs
-(= 13.4 samples/s/GPU, `docs/benchmarks.md:22`); vs_baseline is the
-per-chip ratio against that. The flagship config is upgraded to IS-Fusion
-as the framework grows (see isfusion_tpu/flagship.py).
+Default: IS-Fusion (the flagship) nuScenes-scale inference samples/sec on
+one chip with synthetic fixed-shape inputs (BASELINE.json north-star).
+``vs_baseline`` compares against an IS-Fusion-class PyTorch A100 estimate of
+4.0 samples/s (the reference publishes no FPS — `SURVEY.md` §6; 4 FPS is
+the BEVFusion/TransFusion-class A100 ballpark from their papers, and
+IS-Fusion is heavier).
+
+Env overrides: BENCH_MODEL=pointpillars|isfusion, BENCH_MODE=infer|train,
+BENCH_BATCH/BENCH_STEPS/BENCH_WARMUP.
+
+Through the axon tunnel only jax.device_get reliably synchronizes, so each
+timed step fetches a scalar reduction of the output.
 """
 from __future__ import annotations
 
@@ -16,52 +22,86 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-REFERENCE_SAMPLES_PER_SEC_PER_DEVICE = 107.0 / 8.0  # PointPillars, docs/benchmarks.md:22
+REFERENCE_ISFUSION_INFER_SPS = 4.0      # A100 estimate (see docstring)
+REFERENCE_PP_TRAIN_SPS = 107.0 / 8.0    # docs/benchmarks.md:22, per GPU
 
 
 def main() -> None:
     import jax
-    from isfusion_tpu.flagship import build_flagship
+    import jax.numpy as jnp
+    from isfusion_tpu.flagship import (build_flagship,
+                                       build_isfusion_flagship)
     from isfusion_tpu.parallel.train_step import TrainState, make_train_step
     from isfusion_tpu.runner.optim import build_optimizer
 
-    batch_size = int(os.environ.get("BENCH_BATCH", "4"))
-    steps = int(os.environ.get("BENCH_STEPS", "20"))
-    warmup = int(os.environ.get("BENCH_WARMUP", "3"))
+    model_name = os.environ.get("BENCH_MODEL", "isfusion").lower()
+    mode = os.environ.get("BENCH_MODE",
+                          "infer" if model_name == "isfusion" else "train")
+    batch_size = int(os.environ.get("BENCH_BATCH", "1" if mode == "infer"
+                                    else "4"))
+    steps = int(os.environ.get("BENCH_STEPS",
+                               "8" if model_name == "isfusion" else "20"))
+    warmup = int(os.environ.get("BENCH_WARMUP", "2"))
 
-    model, batch_fn = build_flagship()
+    if model_name == "isfusion":
+        model, batch_fn = build_isfusion_flagship()
+        baseline = REFERENCE_ISFUSION_INFER_SPS
+        metric = "isfusion_nuscenes_infer_samples_per_sec_per_chip"
+    else:
+        model, batch_fn = build_flagship()
+        baseline = REFERENCE_PP_TRAIN_SPS
+        metric = f"pointpillars_{mode}_samples_per_sec_per_chip"
     batch = batch_fn(batch_size)
-    variables = jax.jit(
-        lambda r: model.init(r, batch, train=True, mode="loss"))(
-            jax.random.PRNGKey(0))
-    tx = build_optimizer(
-        variables["params"],
-        optimizer_cfg=dict(type="AdamW", lr=1e-4, weight_decay=0.01),
-        optimizer_config=dict(grad_clip=dict(max_norm=0.01)),
-        lr_config=None, total_steps=steps + warmup)
-    state = TrainState.create(variables, tx)
-    step = make_train_step(model, tx, mesh=None, donate=False)
 
-    rng = jax.random.PRNGKey(1)
-    for i in range(warmup):
-        state, metrics = step(state, batch, jax.random.fold_in(rng, i))
-    # block_until_ready does not synchronize through the axon tunnel;
-    # fetching the value does. Steps are sequential via the state thread,
-    # so fetching the last loss forces the whole timed span.
-    float(jax.device_get(metrics["loss"]))
+    if mode == "infer":
+        variables = jax.jit(
+            lambda r, b: model.init(r, b, train=False, mode="feats"))(
+                jax.random.PRNGKey(0), batch)
+        fwd = jax.jit(
+            lambda v, b: model.apply(v, b, train=False, mode="predict"))
 
-    t0 = time.perf_counter()
-    for i in range(steps):
-        state, metrics = step(state, batch, jax.random.fold_in(rng, 100 + i))
-    float(jax.device_get(metrics["loss"]))
-    dt = time.perf_counter() - t0
+        def sync(out):
+            return float(jax.device_get(jnp.sum(out["bboxes"])))
+
+        variants = []
+        for i in range(max(2, min(4, steps))):
+            b2 = dict(batch)
+            b2["points"] = batch["points"] + 1e-3 * (i + 1)
+            variants.append(b2)
+        for i in range(warmup):
+            sync(fwd(variables, variants[i % len(variants)]))
+        t0 = time.perf_counter()
+        for i in range(steps):
+            sync(fwd(variables, variants[i % len(variants)]))
+        dt = time.perf_counter() - t0
+    else:
+        variables = jax.jit(
+            lambda r: model.init(r, batch, train=True, mode="loss"))(
+                jax.random.PRNGKey(0))
+        tx = build_optimizer(
+            variables["params"],
+            optimizer_cfg=dict(type="AdamW", lr=1e-4, weight_decay=0.01),
+            optimizer_config=dict(grad_clip=dict(max_norm=0.01)),
+            lr_config=None, total_steps=steps + warmup)
+        state = TrainState.create(variables, tx)
+        step = make_train_step(model, tx, mesh=None, donate=False)
+        rng = jax.random.PRNGKey(1)
+        for i in range(warmup):
+            state, metrics = step(state, batch, jax.random.fold_in(rng, i))
+        float(jax.device_get(metrics["loss"]))
+        t0 = time.perf_counter()
+        for i in range(steps):
+            state, metrics = step(state, batch,
+                                  jax.random.fold_in(rng, 100 + i))
+        float(jax.device_get(metrics["loss"]))
+        dt = time.perf_counter() - t0
 
     sps = batch_size * steps / dt
     print(json.dumps({
-        "metric": "flagship_train_samples_per_sec_per_chip",
+        "metric": metric,
         "value": round(sps, 3),
         "unit": "samples/s",
-        "vs_baseline": round(sps / REFERENCE_SAMPLES_PER_SEC_PER_DEVICE, 3),
+        "vs_baseline": round(sps / baseline, 3),
     }))
 
 

@@ -22,10 +22,14 @@ region_drop_info = [
     {0: {'max_tokens': 36, 'drop_range': (0, 100000)}},
 ]
 
-# fixed capacities for the static-shape TPU pipeline
+# fixed capacities for the static-shape TPU pipeline. The sparse encoder's
+# cost is proportional to the voxel cap (gather-bound), so eval uses the
+# same 120k budget as training — at 0.075 m / 10 sweeps this keeps >95% of
+# in-range voxels (the reference's max_voxels/-1 keeps all; SURVEY.md §7
+# design decision 2 covers the bounded-drop contract).
 max_points = 250000          # padded point budget (10 sweeps)
-max_voxels = (120000, 160000)
-pillar_max_voxels = (30000, 60000)
+max_voxels = (120000, 120000)
+pillar_max_voxels = (30000, 30000)
 
 model = dict(
     type='ISFusionDetector',
@@ -82,7 +86,8 @@ model = dict(
         encoder_channels=((32, 32, 64), (64, 64, 128), (128, 128, 256),
                           (256, 256)),
         encoder_paddings=((0, 0, 1), (0, 0, 1), (0, 0, [0, 1, 1]), (0, 0)),
-        block_type='basicblock'),
+        block_type='basicblock',
+        compute_dtype='bfloat16'),
 
     fusion_encoder=dict(
         type='ISFusionEncoder',

@@ -1,5 +1,6 @@
 from .builder import build_dataset, build_dataloader, DataLoader  # noqa: F401
 from .custom_3d import Custom3DDataset  # noqa: F401
 from .nuscenes_dataset import NuScenesDataset  # noqa: F401
+from .kitti_dataset import KittiDataset  # noqa: F401
 from .dataset_wrappers import CBGSDataset, SimpleDataset  # noqa: F401
 from . import pipelines  # noqa: F401

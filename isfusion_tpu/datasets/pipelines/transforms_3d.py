@@ -259,6 +259,115 @@ class PointShuffle:
 
 
 @PIPELINES.register_module()
+class GlobalRotScaleTrans:
+    """Legacy global rot/scale/trans (`transforms_3d.py:1664`) — same math
+    as V2 without the aug-matrix bookkeeping."""
+
+    def __init__(self, rot_range=(-0.78539816, 0.78539816),
+                 scale_ratio_range=(0.95, 1.05),
+                 translation_std=(0, 0, 0), shift_height: bool = False):
+        self.rot_range = rot_range
+        self.scale_ratio_range = scale_ratio_range
+        self.translation_std = np.asarray(translation_std, np.float32)
+
+    def __call__(self, data: dict) -> dict:
+        theta = np.random.uniform(*self.rot_range)
+        scale = np.random.uniform(*self.scale_ratio_range)
+        trans = np.random.normal(scale=self.translation_std, size=3).astype(
+            np.float32)
+        if "points" in data:
+            data["points"].rotate(-theta)
+            data["points"].translate(trans)
+            data["points"].scale(scale)
+        if "gt_bboxes_3d" in data and len(data["gt_bboxes_3d"]):
+            data["gt_bboxes_3d"].rotate(theta)
+            data["gt_bboxes_3d"].translate(trans)
+            data["gt_bboxes_3d"].scale(scale)
+        data["pcd_scale_factor"] = scale
+        data["pcd_rotation"] = theta
+        return data
+
+
+@PIPELINES.register_module()
+class RandomFlip3D:
+    """Legacy BEV flip (`transforms_3d.py:1043`)."""
+
+    def __init__(self, flip_ratio_bev_horizontal: float = 0.5,
+                 flip_ratio_bev_vertical: float = 0.0, **kwargs):
+        self.ratio_h = flip_ratio_bev_horizontal
+        self.ratio_v = flip_ratio_bev_vertical
+
+    def __call__(self, data: dict) -> dict:
+        if np.random.rand() < self.ratio_h:
+            data["points"].flip("horizontal")
+            if "gt_bboxes_3d" in data:
+                data["gt_bboxes_3d"].flip("horizontal")
+            data["pcd_horizontal_flip"] = True
+        if np.random.rand() < self.ratio_v:
+            data["points"].flip("vertical")
+            if "gt_bboxes_3d" in data:
+                data["gt_bboxes_3d"].flip("vertical")
+            data["pcd_vertical_flip"] = True
+        return data
+
+
+@PIPELINES.register_module()
+class IndoorPointSample:
+    """Random point subsampling for indoor scenes (`indoor_sample.py`)."""
+
+    def __init__(self, num_points: int):
+        self.num_points = int(num_points)
+
+    def __call__(self, data: dict) -> dict:
+        pts = data["points"]
+        n = len(pts)
+        replace = n < self.num_points
+        idx = np.random.choice(n, self.num_points, replace=replace)
+        data["points"] = pts[idx]
+        for key in ("pts_instance_mask", "pts_semantic_mask"):
+            if key in data:
+                data[key] = np.asarray(data[key])[idx]
+        return data
+
+
+@PIPELINES.register_module()
+class ObjectNoise:
+    """Per-object jitter (`transforms_3d.py` ObjectNoise, SECOND-style):
+    random translation/rotation applied to each GT box and its points."""
+
+    def __init__(self, translation_std=(0.25, 0.25, 0.25),
+                 rot_range=(-0.15707963267, 0.15707963267),
+                 num_try: int = 100, global_rot_range=(0.0, 0.0)):
+        self.translation_std = np.asarray(translation_std, np.float32)
+        self.rot_range = rot_range
+
+    def __call__(self, data: dict) -> dict:
+        from ...core.bbox.box_np_ops import points_in_rbbox
+        boxes = data["gt_bboxes_3d"]
+        pts = data["points"]
+        arr = boxes.numpy()
+        if len(arr) == 0:
+            return data
+        inside = points_in_rbbox(pts.numpy(), arr)
+        tensor = pts.numpy()
+        for i in range(len(arr)):
+            t = np.random.normal(scale=self.translation_std, size=3)
+            r = np.random.uniform(*self.rot_range)
+            sel = inside[:, i]
+            c = arr[i, :3].copy()
+            rel = tensor[sel, :3] - c
+            cs, sn = np.cos(r), np.sin(r)
+            rot = np.array([[cs, -sn, 0], [sn, cs, 0], [0, 0, 1]],
+                           np.float32)
+            tensor[sel, :3] = rel @ rot.T + c + t
+            arr[i, :3] += t
+            arr[i, 6] += r
+        data["points"] = pts.new_point(tensor)
+        data["gt_bboxes_3d"] = boxes.new_box(arr)
+        return data
+
+
+@PIPELINES.register_module()
 class ObjectSampleV2:
     """GT-paste augmentation wrapper with epoch schedule
     (`transforms_3d.py:1276`; sampler = MMDataBaseSamplerV2)."""

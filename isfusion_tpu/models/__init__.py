@@ -14,3 +14,6 @@ from . import necks  # noqa: F401
 from . import fusion_layers  # noqa: F401
 from . import dense_heads  # noqa: F401
 from . import detectors  # noqa: F401
+from . import decode_heads  # noqa: F401
+from . import roi_heads  # noqa: F401
+from . import segmentors  # noqa: F401

@@ -5,3 +5,4 @@ from .isfusion import ISFusionDetector  # noqa: F401
 from .single_stage_mono3d import FCOSMono3D  # noqa: F401
 from .transfusion import TransFusionDetector  # noqa: F401
 from .votenet import VoteNet  # noqa: F401
+from .parta2 import PartA2  # noqa: F401

@@ -109,10 +109,12 @@ class MaskedBatchNorm(nn.Module):
 
         if train:
             m = mask.astype(jnp.float32)[..., None]
+            x32 = x.astype(jnp.float32)  # bf16-safe statistics
             cnt = jnp.sum(m)
-            mean = jnp.sum(x * m, axis=tuple(range(x.ndim - 1))) / \
+            mean = jnp.sum(x32 * m, axis=tuple(range(x.ndim - 1))) / \
                 jnp.maximum(cnt, 1.0)
-            meansqr = jnp.sum((x * m) ** 2, axis=tuple(range(x.ndim - 1))) / \
+            meansqr = jnp.sum((x32 * m) ** 2,
+                              axis=tuple(range(x.ndim - 1))) / \
                 jnp.maximum(cnt, 1.0)
             if self.axis_name is not None:
                 # weight stats by per-device valid counts (exact pooled stats)
@@ -130,7 +132,7 @@ class MaskedBatchNorm(nn.Module):
         else:
             mean, var = ra_mean.value, ra_var.value
         inv = jax.lax.rsqrt(var + self.epsilon) * scale
-        out = (x - mean) * inv + bias
+        out = (x.astype(jnp.float32) - mean) * inv + bias
         return out.astype(x.dtype)
 
 

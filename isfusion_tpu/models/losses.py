@@ -96,7 +96,9 @@ def cross_entropy_loss(pred: jnp.ndarray, label: jnp.ndarray,
     same shape as pred (sigmoid mode)."""
     if use_sigmoid:
         loss = _bce_with_logits(pred, label.astype(pred.dtype))
-        if loss.ndim > 1:
+        # multi-class sigmoid (pred has a trailing class axis the label
+        # lacks): mean over classes; binary same-shape case: elementwise
+        if loss.ndim == label.ndim + 1:
             loss = loss.mean(-1)
     else:
         logp = jax.nn.log_softmax(pred, axis=-1)

@@ -157,6 +157,7 @@ class SparseEncoder(nn.Module):
     block_type: str = "conv_module"
     stage_cap_ratios: Sequence[float] = (1.0, 1.0, 0.75, 0.5)
     return_intermediate: bool = False
+    compute_dtype: str = "float32"  # 'bfloat16' halves gather traffic
     axis_name: Optional[str] = None
 
     @nn.compact
@@ -166,6 +167,8 @@ class SparseEncoder(nn.Module):
                         dict(type="BN1d", eps=1e-3, momentum=0.01))
         grid = tuple(int(g) for g in self.sparse_shape)
         v_cap = voxel_features.shape[1]
+        voxel_features = voxel_features.astype(
+            jnp.dtype(self.compute_dtype))
 
         def build(f, c, m):
             return build_sparse_grid(f, c, m, grid, assume_sorted=True)

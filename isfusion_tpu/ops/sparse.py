@@ -217,16 +217,64 @@ def sparse_conv3d(sp: SparseGrid, weight: jnp.ndarray,
     out_coords = delinearize(
         jnp.where(out_mask, out_ids, 0), grid_out)
 
-    # gather-GEMM per kernel offset: input coord = o*s - p + kd
+    # gather-GEMM per kernel offset: input coord = o*s - p + kd.
+    # All offsets' id searches are fused into ONE sort-based lookup.
+    offsets = jnp.asarray(_kernel_offsets(ks), jnp.int32)       # (K, 3)
+    in_c = out_coords[None, :, :] * sv - pv + offsets[:, None, :]
+    gi = jnp.asarray(sp.grid, jnp.int32)
+    in_bounds = jnp.all((in_c >= 0) & (in_c < gi), axis=-1)
+    valid = in_bounds & out_mask[None, :]
+    k_total, vout = valid.shape
+    qids = linearize(in_c.reshape(-1, 3), sp.grid)
+    slots, found = lookup_ids(sp.ids, qids, valid.reshape(-1))
+    slots = slots.reshape(k_total, vout)
+    found = found.reshape(k_total, vout)
     out = None
-    for off in _kernel_offsets(ks):
-        in_c = (out_coords * sv - pv + jnp.asarray(off, jnp.int32))
-        feats, _ = gather_neighbors(sp, in_c, out_mask)
+    for k, off in enumerate(_kernel_offsets(ks)):
+        feats = jnp.where(found[k][:, None], sp.feats[slots[k]], 0.0)
         contrib = jnp.dot(feats, weight[off[0], off[1], off[2]],
                           preferred_element_type=jnp.float32)
         out = contrib if out is None else out + contrib
     out_feats = jnp.where(out_mask[:, None], out, 0.0).astype(sp.feats.dtype)
     return SparseGrid(out_feats, out_coords, out_ids, out_mask, grid_out)
+
+
+def sparse_inverse_conv3d(sp_low: SparseGrid, target: SparseGrid,
+                          weight: jnp.ndarray, stride,
+                          padding) -> jnp.ndarray:
+    """SparseInverseConv3d: upsample low-res features back to a SAVED
+    high-res site set (spconv's indice_key-reversal, used by SparseUNet).
+
+    For each target (high-res) site h, contributors are the low-res sites
+    l with l*s - p + kd = h — the exact transpose of `sparse_conv3d`.
+    Returns (V_target, Cout) features at ``target``'s sites.
+    """
+    kz, ky, kx, cin, cout = weight.shape
+    ks = (kz, ky, kx)
+    s = _norm3(stride)
+    p = _norm3(padding)
+    sv = jnp.asarray(s, jnp.int32)
+    pv = jnp.asarray(p, jnp.int32)
+    gl = jnp.asarray(sp_low.grid, jnp.int32)
+    offsets = jnp.asarray(_kernel_offsets(ks), jnp.int32)
+    num = (target.coords[None] + pv - offsets[:, None, :])   # (K, V, 3)
+    l_coord = num // sv
+    exact = jnp.all(l_coord * sv == num, axis=-1)
+    in_b = jnp.all((l_coord >= 0) & (l_coord < gl), axis=-1)
+    valid = exact & in_b & target.mask[None, :]
+    k_total, vt = valid.shape
+    qids = linearize(l_coord.reshape(-1, 3), sp_low.grid)
+    slots, found = lookup_ids(sp_low.ids, qids, valid.reshape(-1))
+    slots = slots.reshape(k_total, vt)
+    found = found.reshape(k_total, vt)
+    out = None
+    for k, off in enumerate(_kernel_offsets(ks)):
+        feats = jnp.where(found[k][:, None], sp_low.feats[slots[k]], 0.0)
+        contrib = jnp.dot(feats, weight[off[0], off[1], off[2]],
+                          preferred_element_type=jnp.float32)
+        out = contrib if out is None else out + contrib
+    return jnp.where(target.mask[:, None], out,
+                     0.0).astype(sp_low.feats.dtype)
 
 
 def sparse_to_dense(sp: SparseGrid) -> jnp.ndarray:

@@ -111,8 +111,41 @@ def _lr_mult_mask(params, custom_keys: Dict[str, dict]):
         [mult_for(jax.tree_util.keystr(kp)) for kp, _ in flat])
 
 
-class _ScaleByPath:
-    pass
+def build_hybrid_optimizer(params, constructor_cfg: dict,
+                           total_steps: int = 10000
+                           ) -> optax.GradientTransformation:
+    """HybridOptimizer parity (`mmdet3d/core/optimizer/hybrid_constructor
+    .py:9`): independent optimizers (and step intervals) per param-name
+    prefix branch, e.g. a slower/img-specific optimizer for the camera
+    backbone. Implemented as optax.multi_transform over a prefix->label
+    partition; step intervals map to optax.MultiSteps per branch."""
+    branches = dict(constructor_cfg.get("branches", {}))
+    default_cfg = dict(constructor_cfg.get(
+        "default", dict(type="AdamW", lr=1e-4, weight_decay=0.01)))
+
+    def make(cfg):
+        cfg = dict(cfg)
+        interval = int(cfg.pop("step_interval", 1))
+        tx = build_optimizer(params, cfg, total_steps=total_steps)
+        if interval > 1:
+            tx = optax.MultiSteps(tx, every_k_schedule=interval)
+        return tx
+
+    transforms = {"default": make(default_cfg)}
+    for name, cfg in branches.items():
+        transforms[name] = make(cfg)
+
+    def label_for(path: str) -> str:
+        for name in branches:
+            if name in path:
+                return name
+        return "default"
+
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    labels = jax.tree_util.tree_unflatten(
+        jax.tree_util.tree_structure(params),
+        [label_for(jax.tree_util.keystr(kp)) for kp, _ in flat])
+    return optax.multi_transform(transforms, labels)
 
 
 def build_optimizer(params, optimizer_cfg: dict,
