@@ -54,7 +54,7 @@ model = dict(
         drop_path_rate=0.2,
         patch_norm=True,
         out_indices=[1, 2, 3],
-        with_cp=False,
+        with_cp=True,   # remat Swin blocks: 6x(384x1056) training memory
         convert_weights=False),
     img_neck=dict(
         type='GeneralizedLSSFPN',

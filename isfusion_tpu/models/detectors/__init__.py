@@ -6,3 +6,4 @@ from .single_stage_mono3d import FCOSMono3D  # noqa: F401
 from .transfusion import TransFusionDetector  # noqa: F401
 from .votenet import VoteNet  # noqa: F401
 from .parta2 import PartA2  # noqa: F401
+from .imvoxelnet import ImVoxelNet, OutdoorImVoxelNeck  # noqa: F401

@@ -88,12 +88,29 @@ class _SparseConvModule(nn.Module):
         if self.conv_type == "SubMConv3d":
             if tuple(self.kernel_size) != (3, 3, 3):
                 rulebook = None  # rulebooks are built for 3x3x3 kernels
-            feats = _vmap_subm(sp, w, rulebook)
+            # remat: don't keep the 27 gathered neighbor tensors alive for
+            # the backward pass (27x the activation memory) — regather.
+            feats = jax.checkpoint(
+                lambda f, ww: _vmap_subm(sp._replace(feats=f), ww,
+                                         rulebook))(sp.feats, w)
             out = sp._replace(feats=feats)
         else:
-            out = _vmap_sparse_conv(
-                sp, w, tuple(self.stride), tuple(self.padding),
-                self.out_cap or sp.feats.shape[-2])
+            # checkpoint only the array pytree — the static grid tuple must
+            # not round-trip through the transform (it would become traced)
+            def _conv_arrays(f, ww):
+                o = _vmap_sparse_conv(
+                    sp._replace(feats=f), ww, tuple(self.stride),
+                    tuple(self.padding),
+                    self.out_cap or sp.feats.shape[-2])
+                return o.feats, o.coords, o.ids, o.mask
+
+            pad = _pad3(self.padding)
+            stride = _pad3(self.stride)
+            out_grid = tuple(
+                (sp.grid[d] + 2 * pad[d] - self.kernel_size[d])
+                // stride[d] + 1 for d in range(3))
+            f, c, i, m = jax.checkpoint(_conv_arrays)(sp.feats, w)
+            out = SparseGrid(f, c, i, m, out_grid)
         x = out.feats
         if self.norm_cfg is not None:
             cfg = dict(self.norm_cfg)

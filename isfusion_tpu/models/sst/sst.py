@@ -148,6 +148,7 @@ class SSTv2(nn.Module):
     dropout: float = 0.0
     pos_temperature: float = 1000.0
     normalize_pos: bool = False
+    with_cp: bool = True   # remat window-attention layers in training
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -161,10 +162,12 @@ class SSTv2(nn.Module):
         ws = int(self.window_shape[0])
         if self.in_channel is not None:
             x = nn.Dense(d, name="linear0")(x)
+        layer_cls = nn.remat(_SSTEncoderLayer, static_argnums=(2,)) \
+            if self.with_cp else _SSTEncoderLayer
         for b in range(self.num_blocks):
             for li, shift in enumerate((False, True)):
-                x = _SSTEncoderLayer(
+                x = layer_cls(
                     d, nh, ff, ws, shift, self.dropout,
                     self.pos_temperature, self.normalize_pos,
-                    name=f"block{b}_layer{li}")(x, train=train)
+                    name=f"block{b}_layer{li}")(x, train)
         return x
