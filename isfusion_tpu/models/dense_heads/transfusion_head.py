@@ -131,8 +131,10 @@ class TransFusionHeadV2(nn.Module):
                         norm_cfg=dict(type="BN2d"),
                         act_cfg=dict(type="relu"),
                         name="heatmap_conv")(lidar_feat, train=train)
-        dense_heatmap = nn.Conv(nc, (3, 3), padding=1, use_bias=True,
-                                name="heatmap_out")(hm)
+        dense_heatmap = nn.Conv(
+            nc, (3, 3), padding=1, use_bias=True,
+            bias_init=nn.initializers.constant(-2.19),  # focal prior init
+            name="heatmap_out")(hm)
 
         heat = jax.nn.sigmoid(jax.lax.stop_gradient(dense_heatmap))
         heat = _maxpool_nms(heat, self.nms_kernel_size,

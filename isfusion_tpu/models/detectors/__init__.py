@@ -7,3 +7,5 @@ from .transfusion import TransFusionDetector  # noqa: F401
 from .votenet import VoteNet  # noqa: F401
 from .parta2 import PartA2  # noqa: F401
 from .imvoxelnet import ImVoxelNet, OutdoorImVoxelNeck  # noqa: F401
+from .indoor_variants import (  # noqa: F401
+    SSD3DNet, GroupFree3DNet, ImVoteNet)

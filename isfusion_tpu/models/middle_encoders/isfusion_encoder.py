@@ -336,8 +336,10 @@ class ISFusionEncoder(nn.Module):
                 hm = ConvModule(emb // 4, kernel_size=3, padding=1,
                                 norm_cfg=norm2d, name="heatmap_head_2")(
                     hm, train=train)
-                ins_heatmap = nn.Conv(self.num_classes, (3, 3), padding=1,
-                                      name="heatmap_head_3")(hm)
+                ins_heatmap = nn.Conv(
+                    self.num_classes, (3, 3), padding=1,
+                    bias_init=nn.initializers.constant(-2.19),
+                    name="heatmap_head_3")(hm)
 
                 heat = jax.nn.sigmoid(jax.lax.stop_gradient(ins_heatmap))
                 k = self.nms_kernel_size
