@@ -49,12 +49,32 @@ class ISFusionDetector(MVXTwoStageDetector):
         b, n = img.shape[:2]
         flat = img.reshape((b * n,) + img.shape[2:])
         feats = self.img_backbone_m(flat, train=train)
+        if view_mask is not None:
+            # Sever the masked views' backward path through the backbone:
+            # an all-zero image makes every LayerNorm see zero-variance
+            # tokens, whose Jacobian is ~1/sqrt(eps) — any cotangent
+            # leaking in (e.g. via the neck's cross-view BatchNorm
+            # statistics) is amplified ~316x per norm (1e27 over Swin).
+            vm = view_mask.reshape(-1)[:, None, None, None]
+            feats = [jnp.where(vm, f, jax.lax.stop_gradient(f))
+                     for f in feats]
         if self.detach:
             feats = [jax.lax.stop_gradient(f) for f in feats]
         feats = self.img_neck_m(feats, train=train)
         if not isinstance(feats, (tuple, list)):
             feats = [feats]
-        return [f.reshape((b, n) + f.shape[1:]) for f in feats]
+        feats = [f.reshape((b, n) + f.shape[1:]) for f in feats]
+        if view_mask is not None:
+            # Zero the dropped views' FEATURES as well: an all-zero image
+            # still yields nonzero constant features, and backprop through
+            # those zero-variance activations amplifies gradients by
+            # ~1/sqrt(eps) per LayerNorm (1e27 over Swin's depth). Masking
+            # here removes the dropped views' gradient path entirely (the
+            # reference avoids the blow-up only because its flagship sets
+            # detach=True on the image branch).
+            feats = [jnp.where(view_mask[:, :, None, None, None], f, 0.0)
+                     for f in feats]
+        return feats
 
     def _pillar_size(self):
         vs, pcr = self.voxel_size, self.pc_range

@@ -46,10 +46,13 @@ def test_pointpillars_overfits():
 
 @pytest.mark.slow
 def test_isfusion_overfits():
+    """Regression guard for the masked-view gradient explosion: dropped
+    camera views once leaked 1e27-scale gradients through zero-variance
+    LayerNorms, zeroing every update via global-norm clipping."""
     from test_models.test_isfusion import tiny_isfusion_cfg, tiny_batch
     model = build_detector(tiny_isfusion_cfg())
-    losses = overfit(model, tiny_batch(), steps=25, lr=1e-3)
-    assert losses[-1] < losses[0] * 0.85, losses[::5]
+    losses = overfit(model, tiny_batch(), steps=30, lr=3e-3, clip=35.0)
+    assert losses[-1] < losses[0] * 0.5, losses[::6]
 
 
 @pytest.mark.slow
