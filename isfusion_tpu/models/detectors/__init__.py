@@ -9,3 +9,4 @@ from .parta2 import PartA2  # noqa: F401
 from .imvoxelnet import ImVoxelNet, OutdoorImVoxelNeck  # noqa: F401
 from .indoor_variants import (  # noqa: F401
     SSD3DNet, GroupFree3DNet, ImVoteNet)
+from .h3dnet import H3DNet  # noqa: F401
