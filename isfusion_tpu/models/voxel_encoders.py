@@ -231,3 +231,18 @@ class DynamicVFE(nn.Module):
         if self.return_point_feats:
             return x.reshape(b, p, -1)
         return voxel_feats.reshape(b, cap + 1, -1)[:, :cap]
+
+
+@VOXEL_ENCODERS.register_module()
+class DynamicPillarFeatureNet(DynamicVFE):
+    """Dynamic-scatter PillarFeatureNet (`pillar_encoder.py:155`): the
+    DynamicVFE machinery with pillar-style defaults (single MLP layer)."""
+
+    feat_channels: Sequence[int] = (64,)
+
+
+@VOXEL_ENCODERS.register_module()
+class DynamicFusionVFE(DynamicVFE):
+    """DynamicVFE with the built-in point-wise fusion hook
+    (`voxel_fusion_encoder.py:12`); fusion runs when img_feats/calib are
+    provided and ``fusion_layer`` (PointFusion) is configured."""

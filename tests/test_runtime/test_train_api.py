@@ -104,7 +104,6 @@ def tiny_cfg(ann_file, tmpdir):
     ))
 
 
-@pytest.mark.slow
 def test_train_eval_roundtrip(tmp_path):
     ann = make_fixture(str(tmp_path), num_samples=4)
     cfg = tiny_cfg(ann, str(tmp_path))
