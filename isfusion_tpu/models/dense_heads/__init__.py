@@ -4,3 +4,4 @@ from .transfusion_head import TransFusionHeadV2  # noqa: F401
 from .fcos_mono3d_head import FCOSMono3DHead  # noqa: F401
 from .vote_head import VoteHead  # noqa: F401
 from .ssd_3d_head import SSD3DHead  # noqa: F401
+from .free_anchor3d_head import FreeAnchor3DHead  # noqa: F401
