@@ -72,19 +72,71 @@ def build_isfusion_flagship(tiny: bool = False):
     return build_detector(model_cfg), batch_fn
 
 
+def _lidar_cloud(rng: np.random.Generator, num_points: int,
+                 pcr, sweeps: int = 10) -> np.ndarray:
+    """Ray-cast a nuScenes-like multi-sweep cloud: 32-beam spinning LiDAR
+    over a ground plane with random walls plus dense object clusters.
+
+    Uniform-random points (the round-1 generator) have no BEV/z clustering,
+    which misrepresents every sparsity-dependent cost in the detector; real
+    LiDAR concentrates returns on the ground ring and object surfaces.
+    Returns (num_points, 3) xyz inside ``pcr``.
+    """
+    beams = 32
+    elev = np.deg2rad(np.linspace(-30.0, 10.0, beams))
+    clouds = []
+    for s in range(sweeps):
+        n_az = 1084
+        az = np.linspace(-np.pi, np.pi, n_az, endpoint=False) + \
+            rng.uniform(0, 0.01)
+        A, E = np.meshgrid(az, elev)
+        with np.errstate(divide="ignore"):
+            r_ground = np.where(E < -0.005, 1.84 / np.tan(-E), 1e9)
+        wall_d = rng.uniform(4.0, 60.0, n_az)
+        has_wall = rng.uniform(size=n_az) < 0.55
+        r_wall = np.where(has_wall[None, :], wall_d[None, :], 1e9)
+        r = np.minimum(r_ground, r_wall)
+        keep = r < 80.0
+        r = r[keep] * rng.normal(1.0, 0.003, keep.sum())
+        a, e = A[keep], E[keep]
+        ego = np.array([0.9 * s, 0.05 * s, 0.0])
+        clouds.append(np.stack([
+            r * np.cos(e) * np.cos(a) + ego[0],
+            r * np.cos(e) * np.sin(a) + ego[1],
+            r * np.sin(e)], -1))
+    for _ in range(40):
+        c = rng.uniform(-50, 50, 2)
+        n = int(rng.integers(50, 1500))
+        xy = c + rng.normal(0, [1.6, 0.7], (n, 2))
+        z = rng.uniform(-1.8, 0.4, n)
+        clouds.append(np.stack([xy[:, 0], xy[:, 1], z], -1))
+    pts = np.concatenate(clouds)
+    m = ((pts[:, 0] > pcr[0]) & (pts[:, 0] < pcr[3]) &
+         (pts[:, 1] > pcr[1]) & (pts[:, 1] < pcr[4]) &
+         (pts[:, 2] > pcr[2]) & (pts[:, 2] < pcr[5]))
+    pts = pts[m]
+    idx = rng.permutation(len(pts))
+    if len(pts) >= num_points:
+        return pts[idx[:num_points]]
+    extra = rng.integers(0, len(pts), num_points - len(pts))
+    return np.concatenate([pts, pts[extra] + rng.normal(
+        0, 0.02, (len(extra), 3))])
+
+
 def synthetic_points_batch(batch_size: int, num_points: int = 120000,
                            num_gt: int = 64, seed: int = 0,
                            pcr=(-50, -50, -5, 50, 50, 3)) -> dict:
     """Fixed-shape synthetic nuScenes-like LiDAR batch (5-dim points,
-    padded GT boxes with mask) — matches the framework's batch contract."""
+    padded GT boxes with mask) — matches the framework's batch contract.
+    Points follow a ray-cast LiDAR distribution (see ``_lidar_cloud``)."""
     import jax.numpy as jnp
     rng = np.random.default_rng(seed)
     pts = np.empty((batch_size, num_points, 5), np.float32)
-    pts[..., 0] = rng.uniform(pcr[0], pcr[3], (batch_size, num_points))
-    pts[..., 1] = rng.uniform(pcr[1], pcr[4], (batch_size, num_points))
-    pts[..., 2] = rng.uniform(pcr[2], pcr[5], (batch_size, num_points))
+    for b in range(batch_size):
+        pts[b, :, :3] = _lidar_cloud(np.random.default_rng(seed + b),
+                                     num_points, pcr)
     pts[..., 3] = rng.uniform(0, 255, (batch_size, num_points))
-    pts[..., 4] = 0.0
+    pts[..., 4] = rng.integers(0, 10, (batch_size, num_points)) * 0.05
     mask = rng.uniform(size=(batch_size, num_points)) > 0.05
     boxes = np.zeros((batch_size, num_gt, 9), np.float32)
     boxes[..., :2] = rng.uniform(-45, 45, (batch_size, num_gt, 2))

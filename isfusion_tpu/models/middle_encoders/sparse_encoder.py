@@ -1,16 +1,17 @@
-"""SECOND-style sparse 3D conv encoder (TPU rulebook gather-GEMM).
+"""SECOND-style sparse 3D conv encoder on the column-sparse TPU engine.
 
 Parity: `mmdet3d/models/middle_encoders/sparse_encoder.py:19` — conv_input
-(SubM) -> 4 encoder stages (each non-first stage opens with a stride-2
-SparseConv3d in 'conv_module' mode, or closes with one in 'basicblock'
-mode with residual SparseBasicBlocks before it,
+(SubM) -> 4 encoder stages (basicblock mode closes each non-final stage
+with a stride-2 SparseConv3d after residual SparseBasicBlocks,
 `sparse_encoder.py:142-216` / `mmdet3d/ops/sparse_block.py:199`) ->
 conv_out (kernel (3,1,1), stride (2,1,1)) -> dense (B, H, W, C*D) BEV.
 
-TPU-native: sparse tensors are fixed-capacity sorted-id buffers
-(`ops/sparse.py`); every conv is K masked gathers + K dense matmuls on the
-MXU; BatchNorm pools statistics over all valid voxels in the batch (and
-across devices when sync, NaiveSyncBN1d parity).
+TPU-native: sparse tensors are BEV-sparse / z-dense column tables
+(`ops/sparse_cols.py`) — a 3^3 kernel costs 6 fat-row gathers + 9 dense
+z-convs on the MXU instead of 27 per-site gathers (see that module's
+docstring for the design rationale and measured motivation). BatchNorm
+pools statistics over all valid sites in the batch (and across devices
+when sync — NaiveSyncBN1d parity, `mmdet3d/ops/norm.py:137`).
 """
 from __future__ import annotations
 
@@ -21,51 +22,36 @@ import jax
 import jax.numpy as jnp
 
 from ...registry import MIDDLE_ENCODERS
-from ...ops.sparse import (SparseGrid, build_sparse_grid,
-                           build_subm_rulebook, sparse_conv3d,
-                           sparse_to_dense, subm_conv3d)
+from ...ops.sparse_cols import (ColumnGrid, build_column_grid,
+                                column_to_dense, dilate_columns,
+                                sparse_conv_col, sparse_conv_col_dil,
+                                subm_conv_col_dil, zconv_col)
 from ..layers import MaskedBatchNorm, is_sync_norm
 
 
-def _vmap_rulebook(sp: SparseGrid, kernel_size=(3, 3, 3)):
-    grid = sp.grid
-    return jax.vmap(lambda f, c, i, m: build_subm_rulebook(
-        SparseGrid(f, c, i, m, grid), kernel_size))(
-            sp.feats, sp.coords, sp.ids, sp.mask)
+def _vmap_cols(fn, cg: ColumnGrid, *extra):
+    """vmap a per-sample ColumnGrid function over the leading batch axis."""
+    bev = cg.bev
+    return jax.vmap(lambda f, z, i, c, *e: fn(
+        ColumnGrid(f, z, i, c, bev), *e))(
+            cg.feats, cg.zmask, cg.ids, cg.cmask, *extra)
 
 
-def _vmap_subm(sp: SparseGrid, weight: jnp.ndarray,
-               rulebook=None) -> jnp.ndarray:
-    """subm conv over batched SparseGrid (leading B on arrays)."""
-    grid = sp.grid
-    if rulebook is None:
-        return jax.vmap(lambda f, c, i, m: subm_conv3d(
-            SparseGrid(f, c, i, m, grid), weight))(
-                sp.feats, sp.coords, sp.ids, sp.mask)
-    return jax.vmap(lambda f, c, i, m, rs, rf: subm_conv3d(
-        SparseGrid(f, c, i, m, grid), weight, (rs, rf)))(
-            sp.feats, sp.coords, sp.ids, sp.mask,
-            rulebook[0], rulebook[1])
+def _vmap_dilate(cg: ColumnGrid, dil_cap: int):
+    """Batched x-dilation; returns (dilated ColumnGrid, y-rulebook)."""
+    bev = cg.bev
+    out, rb = jax.vmap(lambda f, z, i, c: dilate_columns(
+        ColumnGrid(f, z, i, c, bev), dil_cap))(
+            cg.feats, cg.zmask, cg.ids, cg.cmask)
+    return ColumnGrid(out.feats, out.zmask, out.ids, out.cmask, bev), rb
 
 
-def _vmap_sparse_conv(sp: SparseGrid, weight: jnp.ndarray, stride, padding,
-                      out_cap: int) -> SparseGrid:
-    grid = sp.grid
-    f, c, i, m = jax.vmap(
-        lambda f, c, i, m: tuple(sparse_conv3d(
-            SparseGrid(f, c, i, m, grid), weight, stride, padding,
-            out_cap)[:4]))(sp.feats, sp.coords, sp.ids, sp.mask)
-    out_grid = tuple(
-        (grid[d] + 2 * (padding[d] if isinstance(padding, (tuple, list))
-                        else padding) -
-         weight.shape[d]) // (stride[d] if isinstance(stride, (tuple, list))
-                              else stride) + 1
-        for d in range(3))
-    return SparseGrid(f, c, i, m, out_grid)
+def _pad3(p) -> Tuple[int, int, int]:
+    return tuple(p) if isinstance(p, (tuple, list)) else (int(p),) * 3
 
 
 class _SparseConvModule(nn.Module):
-    """conv(+norm)(+act) on a SparseGrid — make_sparse_convmodule parity."""
+    """conv(+norm)(+act) on a ColumnGrid — make_sparse_convmodule parity."""
 
     out_channels: int
     kernel_size: Tuple[int, int, int] = (3, 3, 3)
@@ -78,39 +64,56 @@ class _SparseConvModule(nn.Module):
     axis_name: Optional[str] = None
 
     @nn.compact
-    def __call__(self, sp: SparseGrid, train: bool = False,
-                 rulebook=None) -> SparseGrid:
-        cin = sp.feats.shape[-1]
+    def __call__(self, cg: ColumnGrid, train: bool = False,
+                 rulebook=None) -> ColumnGrid:
+        cin = cg.feats.shape[-1]
         w = self.param(
             "kernel",
             nn.initializers.variance_scaling(1.0, "fan_in", "normal"),
             tuple(self.kernel_size) + (cin, self.out_channels), jnp.float32)
+        bev = cg.bev
         if self.conv_type == "SubMConv3d":
-            if tuple(self.kernel_size) != (3, 3, 3):
-                rulebook = None  # rulebooks are built for 3x3x3 kernels
-            # remat: don't keep the 27 gathered neighbor tensors alive for
-            # the backward pass (27x the activation memory) — regather.
-            feats = jax.checkpoint(
-                lambda f, ww: _vmap_subm(sp._replace(feats=f), ww,
-                                         rulebook))(sp.feats, w)
-            out = sp._replace(feats=feats)
-        else:
-            # checkpoint only the array pytree — the static grid tuple must
-            # not round-trip through the transform (it would become traced)
-            def _conv_arrays(f, ww):
-                o = _vmap_sparse_conv(
-                    sp._replace(feats=f), ww, tuple(self.stride),
-                    tuple(self.padding),
-                    self.out_cap or sp.feats.shape[-2])
-                return o.feats, o.coords, o.ids, o.mask
+            assert rulebook is not None, \
+                "subm convs run on a dilated grid (see _vmap_dilate)"
+            # remat: regather neighbors in backward instead of keeping the
+            # tap tensors alive.
+            feats = jax.checkpoint(lambda f, ww: jax.vmap(
+                lambda ff, zz, ii, cc, rs, rf: subm_conv_col_dil(
+                    ColumnGrid(ff, zz, ii, cc, bev), ww, (rs, rf)))(
+                    f, cg.zmask, cg.ids, cg.cmask, *rulebook))(
+                        cg.feats, w)
+            out = cg._replace(feats=feats)
+        elif tuple(self.kernel_size)[1:] == (1, 1):
+            sz = self.stride[0] if isinstance(self.stride,
+                                              (tuple, list)) else self.stride
+            pz = _pad3(self.padding)[0]
 
-            pad = _pad3(self.padding)
+            def _conv(f, ww):
+                o = _vmap_cols(lambda g: zconv_col(g, ww, int(sz), pz),
+                               cg._replace(feats=f))
+                return o.feats, o.zmask
+            feats, zmask = jax.checkpoint(_conv)(cg.feats, w)
+            out = ColumnGrid(feats, zmask, cg.ids, cg.cmask, bev)
+        else:
             stride = _pad3(self.stride)
-            out_grid = tuple(
-                (sp.grid[d] + 2 * pad[d] - self.kernel_size[d])
-                // stride[d] + 1 for d in range(3))
-            f, c, i, m = jax.checkpoint(_conv_arrays)(sp.feats, w)
-            out = SparseGrid(f, c, i, m, out_grid)
+            pad = _pad3(self.padding)
+            out_cap = self.out_cap or cg.feats.shape[1]
+            # the u-factorized path needs an x-dilated input and a 3x3 BEV
+            # kernel; encoder downsamples qualify (their input stage grid
+            # is always dilated), odd shapes fall back to the 9-tap form
+            conv_fn = sparse_conv_col_dil if tuple(
+                self.kernel_size)[1:] == (3, 3) else sparse_conv_col
+
+            def _conv(f, ww):
+                o = _vmap_cols(lambda g: conv_fn(
+                    g, ww, stride, pad, out_cap), cg._replace(feats=f))
+                return tuple(o[:4])
+            f, z, i, c = jax.checkpoint(_conv)(cg.feats, w)
+            ny_o = (bev[0] + 2 * pad[1] - self.kernel_size[1]) \
+                // stride[1] + 1
+            nx_o = (bev[1] + 2 * pad[2] - self.kernel_size[2]) \
+                // stride[2] + 1
+            out = ColumnGrid(f, z, i, c, (ny_o, nx_o))
         x = out.feats
         if self.norm_cfg is not None:
             cfg = dict(self.norm_cfg)
@@ -118,10 +121,10 @@ class _SparseConvModule(nn.Module):
                 momentum=float(cfg.get("momentum", 0.01)),
                 epsilon=float(cfg.get("eps", 1e-3)),
                 axis_name=self.axis_name if is_sync_norm(cfg) else None,
-            )(x, out.mask, train=train)
+            )(x, out.zmask, train=train)
         if self.with_act:
             x = nn.relu(x)
-        x = jnp.where(out.mask[..., None], x, 0.0)
+        x = jnp.where(out.zmask[..., None], x, 0.0).astype(cg.feats.dtype)
         return out._replace(feats=x)
 
 
@@ -133,24 +136,20 @@ class _SparseBasicBlock(nn.Module):
     axis_name: Optional[str] = None
 
     @nn.compact
-    def __call__(self, sp: SparseGrid, train: bool = False,
-                 rulebook=None) -> SparseGrid:
-        identity = sp.feats
+    def __call__(self, cg: ColumnGrid, train: bool = False,
+                 rulebook=None) -> ColumnGrid:
+        identity = cg.feats
         out = _SparseConvModule(self.channels, norm_cfg=self.norm_cfg,
                                 with_act=True,
                                 axis_name=self.axis_name)(
-            sp, train=train, rulebook=rulebook)
+            cg, train=train, rulebook=rulebook)
         out = _SparseConvModule(self.channels, norm_cfg=self.norm_cfg,
                                 with_act=False,
                                 axis_name=self.axis_name)(
             out, train=train, rulebook=rulebook)
         x = nn.relu(out.feats + identity)
-        x = jnp.where(out.mask[..., None], x, 0.0)
+        x = jnp.where(out.zmask[..., None], x, 0.0).astype(cg.feats.dtype)
         return out._replace(feats=x)
-
-
-def _pad3(p) -> Tuple[int, int, int]:
-    return tuple(p) if isinstance(p, (tuple, list)) else (int(p),) * 3
 
 
 @MIDDLE_ENCODERS.register_module()
@@ -160,7 +159,8 @@ class SparseEncoder(nn.Module):
     Call: (voxel_features (B, V, C), coors (B, V, 3) zyx, voxel_mask (B, V))
     -> (B, ny, nx, C_out * nz_out) NHWC dense BEV.
     ``sparse_shape`` is (nz, ny, nx) like the reference (e.g. [41,1440,1440]).
-    ``stage_cap_ratios`` scale the voxel capacity after each downsample.
+    ``stage_cap_ratios`` scale the COLUMN capacity per stage (column count
+    shrinks under BEV downsampling; z-cells ride inside columns for free).
     """
 
     in_channels: int = 5
@@ -172,7 +172,8 @@ class SparseEncoder(nn.Module):
     encoder_channels: Any = ((16,), (32, 32, 32), (64, 64, 64), (64, 64, 64))
     encoder_paddings: Any = ((1,), (1, 1, 1), (1, 1, 1), ((0, 1, 1), 1, 1))
     block_type: str = "conv_module"
-    stage_cap_ratios: Sequence[float] = (1.0, 1.0, 0.75, 0.5)
+    stage_cap_ratios: Sequence[float] = (1.0, 1.0, 0.5, 0.25)
+    dilation_ratio: float = 1.6  # x-dilated column cap / column cap
     return_intermediate: bool = False
     compute_dtype: str = "float32"  # 'bfloat16' halves gather traffic
     axis_name: Optional[str] = None
@@ -187,27 +188,29 @@ class SparseEncoder(nn.Module):
         voxel_features = voxel_features.astype(
             jnp.dtype(self.compute_dtype))
 
-        def build(f, c, m):
-            return build_sparse_grid(f, c, m, grid, assume_sorted=True)
-
-        sp = jax.vmap(build)(voxel_features, coors, voxel_mask)
-        sp = SparseGrid(sp.feats, sp.coords, sp.ids, sp.mask, grid)
-
-        # one subm rulebook per active-site set (recomputed only after a
-        # strided conv changes the sites) — neighbor search is the dominant
-        # cost, the convs themselves are gather+GEMM.
-        rulebook = _vmap_rulebook(sp)
-        sp = _SparseConvModule(self.base_channels, norm_cfg=norm_cfg,
-                               axis_name=self.axis_name,
-                               name="conv_input")(sp, train=train,
-                                                  rulebook=rulebook)
-
         def cap_for(stage: int) -> int:
             r = self.stage_cap_ratios[min(stage,
                                           len(self.stage_cap_ratios) - 1)]
             return max(int(v_cap * r) // 8 * 8, 8)
 
-        encode_features = [sp]
+        def dil_cap_for(stage: int) -> int:
+            return max(int(cap_for(stage) * self.dilation_ratio) // 8 * 8, 8)
+
+        cg = jax.vmap(lambda f, c, m: build_column_grid(
+            f, c, m, grid, cap_for(0)))(voxel_features, coors, voxel_mask)
+        cg = ColumnGrid(cg.feats, cg.zmask, cg.ids, cg.cmask,
+                        (grid[1], grid[2]))
+
+        # each stage's subm convs run on the x-dilated column table; the
+        # dilation + y-rulebook are rebuilt only after a strided conv
+        # changes the BEV footprint (spconv indice_key reuse semantics).
+        cg, rulebook = _vmap_dilate(cg, dil_cap_for(0))
+        cg = _SparseConvModule(self.base_channels, norm_cfg=norm_cfg,
+                               axis_name=self.axis_name,
+                               name="conv_input")(cg, train=train,
+                                                  rulebook=rulebook)
+
+        encode_features = [cg]
         in_ch = self.base_channels
         for i, blocks in enumerate(self.encoder_channels):
             blocks = tuple(blocks)
@@ -216,56 +219,50 @@ class SparseEncoder(nn.Module):
                 pad = _pad3(pads[j])
                 name = f"encoder_layer{i + 1}_{j}"
                 if i != 0 and j == 0 and self.block_type == "conv_module":
-                    sp = _SparseConvModule(
+                    cg = _SparseConvModule(
                         out_ch, stride=(2, 2, 2), padding=pad,
                         conv_type="SparseConv3d", out_cap=cap_for(i),
                         norm_cfg=norm_cfg, axis_name=self.axis_name,
-                        name=name)(sp, train=train)
-                    rulebook = _vmap_rulebook(sp)
+                        name=name)(cg, train=train)
+                    cg, rulebook = _vmap_dilate(cg, dil_cap_for(i))
                 elif self.block_type == "basicblock":
                     if j == len(blocks) - 1 and \
                             i != len(self.encoder_channels) - 1:
-                        sp = _SparseConvModule(
+                        cg = _SparseConvModule(
                             out_ch, stride=(2, 2, 2), padding=pad,
                             conv_type="SparseConv3d", out_cap=cap_for(i + 1),
                             norm_cfg=norm_cfg, axis_name=self.axis_name,
-                            name=name)(sp, train=train)
-                        rulebook = _vmap_rulebook(sp)
+                            name=name)(cg, train=train)
+                        cg, rulebook = _vmap_dilate(cg, dil_cap_for(i + 1))
                     else:
                         if in_ch != out_ch:
-                            sp = _SparseConvModule(
+                            cg = _SparseConvModule(
                                 out_ch, norm_cfg=norm_cfg,
                                 axis_name=self.axis_name,
-                                name=name + "_proj")(sp, train=train,
+                                name=name + "_proj")(cg, train=train,
                                                      rulebook=rulebook)
-                        sp = _SparseBasicBlock(
+                        cg = _SparseBasicBlock(
                             out_ch, norm_cfg=norm_cfg,
                             axis_name=self.axis_name, name=name)(
-                                sp, train=train, rulebook=rulebook)
+                                cg, train=train, rulebook=rulebook)
                 else:
-                    sp = _SparseConvModule(
+                    cg = _SparseConvModule(
                         out_ch, padding=pad, norm_cfg=norm_cfg,
                         axis_name=self.axis_name, name=name)(
-                            sp, train=train, rulebook=rulebook)
+                            cg, train=train, rulebook=rulebook)
                 in_ch = out_ch
-            encode_features.append(sp)
+            encode_features.append(cg)
 
         out = _SparseConvModule(
             self.output_channels, kernel_size=(3, 1, 1), stride=(2, 1, 1),
             padding=(0, 0, 0), conv_type="SparseConv3d",
-            out_cap=cap_for(len(self.encoder_channels) - 1),
             norm_cfg=norm_cfg, axis_name=self.axis_name,
-            name="conv_out")(sp, train=train)
+            name="conv_out")(cg, train=train)
 
-        grid_out = out.grid
-        dense = jax.vmap(lambda f, c, i, m: sparse_to_dense(
-            SparseGrid(f, c, i, m, grid_out)))(
-                out.feats, out.coords, out.ids, out.mask)
-        b = dense.shape[0]
-        nz, ny, nx, ch = dense.shape[1:]
-        # (B, D, H, W, C) -> (B, H, W, C*D): N,C*D,H,W in the reference
-        # (`sparse_encoder.py:135-137`) == channels-last concat of depth.
-        dense = dense.transpose(0, 2, 3, 1, 4).reshape(b, ny, nx, nz * ch)
+        # (B, ny, nx, Z*C) with out[..., z*C:(z+1)*C] = feats[:, z] —
+        # channels-last depth concat, matching the reference's
+        # N,C*D,H,W (`sparse_encoder.py:135-137`).
+        dense = _vmap_cols(column_to_dense, out)
         if self.return_intermediate:
             return dense, encode_features
         return dense

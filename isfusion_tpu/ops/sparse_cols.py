@@ -1,0 +1,472 @@
+"""Column-sparse 3D convolution: BEV-sparse, z-dense "pillar columns".
+
+Second-generation TPU engine for the spconv-class workload
+(`/root/reference/mmdet3d/models/middle_encoders/sparse_encoder.py:19` and
+the vendored spconv under `mmdet3d/ops/bevfusion-ops/spconv/`). The
+site-level rulebook engine (`ops/sparse.py`) pays the TPU's per-row gather
+cost 27x per conv (27 kernel taps x V voxel rows); measured on v5e that is
+~12 ns/row regardless of row width, which made the sparse encoder ~80% of
+IS-Fusion inference.
+
+This engine exploits LiDAR structure: active voxels cluster in BEV columns
+(median 1.3-3.7 active z-cells per active column across encoder stages), and
+the z-extent is tiny (41 -> 5). So sparsity is kept ONLY over BEV: the
+active set is a sorted fixed-capacity table of BEV column ids, each carrying
+a DENSE z-column of features (V_col, Z, C) plus an active-site mask. A 3^3
+kernel then needs only 9 BEV neighbor lookups (vs 27), each moving a fat
+(Z*C) row (bandwidth-bound, not row-bound), and the z-dimension of the
+kernel becomes a dense 1D conv on the MXU. Three of the 9 taps are free:
+the center is the column itself, and the x+-1 neighbors of a sorted unique
+id table are roll-by-one with an adjacency test (id arithmetic, no search).
+
+Semantics match spconv (oracle-tested against `ops/sparse.py` and dense
+conv): submanifold convs preserve the active-site set; strided convs
+activate every output site whose receptive field touches an input site.
+Capacity is over COLUMNS, so one cap slot holds every active z-cell of that
+column — at stage 1 the site-level engine's 120k-voxel cap drops ~2/3 of
+the post-downsample sites while a 120k-column cap holds all of them.
+
+All shapes static; batch via vmap.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .sparse import unique_sorted_ids
+
+_INT_MAX = jnp.iinfo(jnp.int32).max
+
+# BEV kernel taps that need a table lookup ((dy, dx); (0, 0) is the column
+# itself and (0, +-1) are rolls of the sorted id table).
+SIDE_TAPS = ((-1, -1), (-1, 0), (-1, 1), (1, -1), (1, 0), (1, 1))
+
+
+class ColumnGrid(NamedTuple):
+    """Fixed-capacity BEV-sparse, z-dense feature grid (one sample).
+
+    Invariant: `ids` ascending, INT_MAX at invalid slots; `feats` zero at
+    every inactive site (both ~cmask columns and ~zmask cells).
+    """
+    feats: jnp.ndarray   # (Vc, Z, C)
+    zmask: jnp.ndarray   # (Vc, Z) bool — active voxel sites
+    ids: jnp.ndarray     # (Vc,) int32 BEV id = y * nx + x, ascending
+    cmask: jnp.ndarray   # (Vc,) bool — column slot valid
+    bev: Tuple[int, int]  # (ny, nx) static
+
+
+def _yx(ids: jnp.ndarray, nx: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    return ids // nx, ids % nx
+
+
+def build_column_grid(feats: jnp.ndarray, coords: jnp.ndarray,
+                      mask: jnp.ndarray, grid: Sequence[int],
+                      col_cap: int) -> ColumnGrid:
+    """(V, C) voxel rows + (V, 3) zyx coords -> ColumnGrid.
+
+    Columns beyond `col_cap` are dropped (the capacity-overflow behavior the
+    reference already has via hard_voxelize max_voxels).
+    """
+    nz, ny, nx = (int(g) for g in grid)
+    v, c = feats.shape
+    bev_ids = jnp.where(mask, coords[:, 1] * nx + coords[:, 2],
+                        _INT_MAX).astype(jnp.int32)
+    col_ids, cmask = unique_sorted_ids(bev_ids, col_cap)
+    slot = jnp.searchsorted(col_ids, bev_ids, method="sort").astype(jnp.int32)
+    slot = jnp.minimum(slot, col_cap - 1)
+    found = mask & (col_ids[slot] == bev_ids)
+    flat = jnp.where(found, slot * nz + coords[:, 0], col_cap * nz)
+    fbuf = jnp.zeros((col_cap * nz + 1, c), feats.dtype)
+    fbuf = fbuf.at[flat].set(jnp.where(found[:, None], feats, 0.0),
+                             mode="drop", unique_indices=True)
+    zbuf = jnp.zeros((col_cap * nz + 1,), bool).at[flat].set(
+        found, mode="drop", unique_indices=True)
+    return ColumnGrid(fbuf[:-1].reshape(col_cap, nz, c),
+                      zbuf[:-1].reshape(col_cap, nz),
+                      col_ids, cmask, (ny, nx))
+
+
+def _roll_match(ids: jnp.ndarray, cmask: jnp.ndarray, nx: int,
+                direction: int) -> jnp.ndarray:
+    """Valid-mask for the x+-1 neighbor being the adjacent table slot."""
+    vc = ids.shape[0]
+    pos = jnp.arange(vc)
+    x = ids % nx
+    if direction > 0:   # neighbor id = ids + 1 at slot v+1
+        match = (jnp.roll(ids, -1) == ids + 1) & (pos < vc - 1)
+        return match & cmask & (x + 1 < nx)
+    match = (jnp.roll(ids, 1) == ids - 1) & (pos > 0)
+    return match & cmask & (x > 0)
+
+
+def column_rulebook(cg: ColumnGrid) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Slots/found for the 6 SIDE_TAPS, one fused sorted search.
+
+    Reused by every submanifold conv on the same active set (spconv
+    indice_key semantics, `sparse_encoder.py: indice_key='subm{i}'`).
+    Returns (slots (6, Vc) int32, found (6, Vc) bool).
+    """
+    ny, nx = cg.bev
+    y, x = _yx(cg.ids, nx)
+    qs, valids = [], []
+    for dy, dx in SIDE_TAPS:
+        ok = cg.cmask & (y + dy >= 0) & (y + dy < ny) & \
+            (x + dx >= 0) & (x + dx < nx)
+        qs.append(jnp.where(ok, cg.ids + dy * nx + dx, -1))
+        valids.append(ok)
+    q = jnp.stack(qs)                                   # (6, Vc)
+    valid = jnp.stack(valids)
+    j = jnp.searchsorted(cg.ids, q.reshape(-1),
+                         method="sort").astype(jnp.int32)
+    j = jnp.minimum(j, cg.ids.shape[0] - 1).reshape(q.shape)
+    found = valid & (cg.ids[j] == q)
+    return j, found
+
+
+def _zconv(x: jnp.ndarray, w: jnp.ndarray, stride: int = 1,
+           padding: int = 1) -> jnp.ndarray:
+    """Dense 1D conv along z: (Vc, Z, Cin) x (kz, Cin, Cout).
+
+    Output keeps x.dtype (f32 accumulation happens inside the MXU;
+    emitting bf16 halves the store traffic of the fat u tensors)."""
+    return jax.lax.conv_general_dilated(
+        x, w.astype(x.dtype), window_strides=(stride,),
+        padding=[(padding, padding)],
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        preferred_element_type=x.dtype)
+
+
+def subm_conv_col(cg: ColumnGrid, weight: jnp.ndarray,
+                  rulebook: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None
+                  ) -> jnp.ndarray:
+    """Submanifold conv; weight (kz, 3, 3, Cin, Cout) (kz odd, z-padded
+    same). Returns (Vc, Z, Cout) feats at the same sites."""
+    kz, ky, kx, cin, cout = weight.shape
+    assert (ky, kx) == (3, 3), "column engine is specialized to 3x3 BEV"
+    if rulebook is None:
+        rulebook = column_rulebook(cg)
+    slots, found = rulebook
+    ny, nx = cg.bev
+    pz = kz // 2
+
+    acc = _zconv(cg.feats, weight[:, 1, 1], padding=pz)
+    m_p = _roll_match(cg.ids, cg.cmask, nx, +1)
+    nbr = jnp.where(m_p[:, None, None], jnp.roll(cg.feats, -1, axis=0), 0.0)
+    acc += _zconv(nbr, weight[:, 1, 2], padding=pz)
+    m_m = _roll_match(cg.ids, cg.cmask, nx, -1)
+    nbr = jnp.where(m_m[:, None, None], jnp.roll(cg.feats, 1, axis=0), 0.0)
+    acc += _zconv(nbr, weight[:, 1, 0], padding=pz)
+    for t, (dy, dx) in enumerate(SIDE_TAPS):
+        nbr = jnp.where(found[t][:, None, None],
+                        _gather_rows(cg.feats, slots[t]), 0.0)
+        acc += _zconv(nbr, weight[:, 1 + dy, 1 + dx], padding=pz)
+    acc = jnp.where(cg.zmask[..., None], acc, 0.0)
+    return acc.astype(cg.feats.dtype)
+
+
+def _gather_rows(arr: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Row gather of (V, Z, C) via a flattened-2D view.
+
+    XLA's TPU gather on a 3D operand lowers ~25x slower than on a 2D one
+    (measured 613 vs ~50 ns/row at (106k, 41, 32)). Do NOT bitcast-pack
+    bf16 pairs into f32: the relayout costs ~3x the gather itself.
+    (indices_are_sorted would be wrong here: not-found queries clip to
+    slot 0 interspersed among the otherwise monotone indices.)"""
+    v, z, c = arr.shape
+    flat = arr.reshape(v, z * c)
+    return flat.at[idx].get(unique_indices=False,
+                            mode="promise_in_bounds").reshape(-1, z, c)
+
+
+def dilate_columns(cg: ColumnGrid, dil_cap: int
+                   ) -> Tuple[ColumnGrid, Tuple[jnp.ndarray, jnp.ndarray]]:
+    """Embed the active columns into their x-dilation, and precompute the
+    y-neighbor lookup used by `subm_conv_col_dil`.
+
+    The dilated table contains every active column plus its x+-1 neighbors
+    (same BEV row). On it, a submanifold 3^3 conv factorizes into
+    x-direction rolls (exact on a sorted unique id table) + dense z-convs +
+    exactly TWO row gathers (y+-1), instead of 6 neighbor gathers per conv.
+    Returns (dilated ColumnGrid, (slots (2, D), found (2, D))) where slots
+    row 0 is the y-1 lookup and row 1 the y+1 lookup.
+    """
+    ny, nx = cg.bev
+    vc, z, c = cg.feats.shape
+    y, x = _yx(cg.ids, nx)
+    cand = [
+        jnp.where(cg.cmask & (x > 0), cg.ids - 1, _INT_MAX),
+        jnp.where(cg.cmask, cg.ids, _INT_MAX),
+        jnp.where(cg.cmask & (x + 1 < nx), cg.ids + 1, _INT_MAX),
+    ]
+    dil_ids, dil_cmask = unique_sorted_ids(jnp.concatenate(cand), dil_cap)
+    # embed active rows (order-preserving -> sorted unique scatter)
+    embed = jnp.minimum(jnp.searchsorted(
+        dil_ids, jnp.where(cg.cmask, cg.ids, _INT_MAX),
+        method="sort").astype(jnp.int32), dil_cap - 1)
+    ok = cg.cmask & (dil_ids[embed] == cg.ids)  # dropped on cap overflow
+    slot = jnp.where(ok, embed, dil_cap)
+    feats = jnp.zeros((dil_cap + 1, z * c), cg.feats.dtype).at[slot].set(
+        cg.feats.reshape(vc, z * c), mode="drop",
+        unique_indices=True)[:-1].reshape(dil_cap, z, c)
+    zmask = jnp.zeros((dil_cap + 1, z), bool).at[slot].set(
+        cg.zmask, mode="drop", unique_indices=True)[:-1]
+    out = ColumnGrid(feats, zmask, dil_ids, dil_cmask, cg.bev)
+    return out, subm_y_rulebook(out)
+
+
+def subm_y_rulebook(cg: ColumnGrid) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(slots (2, V), found (2, V)) for the y-1 / y+1 same-x neighbors."""
+    ny, nx = cg.bev
+    y, _ = _yx(cg.ids, nx)
+    qs = jnp.stack([
+        jnp.where(cg.cmask & (y > 0), cg.ids - nx, -1),
+        jnp.where(cg.cmask & (y + 1 < ny), cg.ids + nx, -1),
+    ])
+    j = jnp.searchsorted(cg.ids, qs.reshape(-1),
+                         method="sort").astype(jnp.int32)
+    j = jnp.minimum(j, cg.ids.shape[0] - 1).reshape(qs.shape)
+    found = (qs >= 0) & (cg.ids[j] == qs)
+    return j, found
+
+
+def _x_im2col(cg: ColumnGrid) -> jnp.ndarray:
+    """(D, Z, 3 Cin) with kx-blocks [x-1, x, x+1] built from rolls (exact
+    on a sorted unique id table; missing/inactive neighbors are zero)."""
+    ny, nx = cg.bev
+    m_p = _roll_match(cg.ids, cg.cmask, nx, +1)
+    m_m = _roll_match(cg.ids, cg.cmask, nx, -1)
+    hp = jnp.where(m_p[:, None, None], jnp.roll(cg.feats, -1, axis=0), 0.0)
+    hm = jnp.where(m_m[:, None, None], jnp.roll(cg.feats, 1, axis=0), 0.0)
+    return jnp.concatenate([hm, cg.feats, hp], axis=-1)
+
+
+def _w_cat(weight: jnp.ndarray) -> jnp.ndarray:
+    """(kz, ky, kx, Cin, Cout) -> (kz, kx*Cin, ky*Cout): the z-conv kernel
+    matching `_x_im2col` inputs, emitting the ky partials u_{dy} stacked
+    along Cout (dy = ky - 1)."""
+    kz, ky, kx, cin, cout = weight.shape
+    return weight.transpose(0, 2, 3, 1, 4).reshape(kz, kx * cin, ky * cout)
+
+
+def subm_conv_col_dil(cg: ColumnGrid, weight: jnp.ndarray,
+                      rulebook: Tuple[jnp.ndarray, jnp.ndarray]
+                      ) -> jnp.ndarray:
+    """Submanifold conv on an x-dilated ColumnGrid (see `dilate_columns`).
+
+    Factorized data movement: the three x-taps are rolls feeding ONE dense
+    z-conv with kx*Cin input and ky*Cout output channels (MXU-sized
+    contraction); of the resulting partials u_{dy}[w] = sum_dx,dz
+    W[dz, dy, dx] feats[(y_w, x_w+dx), z+dz], the combine
+    out[v] = u_{-1}[y-1 slot] + u_0[v] + u_{+1}[y+1 slot]
+    costs the only two row gathers. weight (kz, 3, 3, Cin, Cout).
+    """
+    kz, ky, kx, cin, cout = weight.shape
+    assert (ky, kx) == (3, 3)
+    slots, found = rulebook
+    pz = kz // 2
+    dt = cg.feats.dtype
+
+    u = _zconv(_x_im2col(cg), _w_cat(weight), padding=pz).astype(dt)
+    u_m, u_0, u_p = u[..., :cout], u[..., cout:2 * cout], u[..., 2 * cout:]
+    up = jnp.where(found[1][:, None, None], _gather_rows(u_p, slots[1]), 0.0)
+    dn = jnp.where(found[0][:, None, None], _gather_rows(u_m, slots[0]), 0.0)
+    acc = u_0 + up + dn
+    return jnp.where(cg.zmask[..., None], acc, 0.0).astype(dt)
+
+
+def sparse_conv_col_dil(cg: ColumnGrid, weight: jnp.ndarray, stride,
+                        padding, out_col_cap: int) -> ColumnGrid:
+    """Strided sparse conv from an x-dilated input grid.
+
+    Same u-factorization as `subm_conv_col_dil`: one fat z-conv (with z
+    stride) over x-rolled inputs computes the ky partials at every input
+    column; each output column then gathers 3 rows (one per ky) at its
+    center input x — 3 gathers instead of 9. Requires sx such that the
+    kx taps are the {-1, 0, +1} x-neighbors of the center (kx = 3).
+    """
+    kz, ky, kx, cin, cout = weight.shape
+    assert kx == 3 and ky == 3
+    s = (stride, stride, stride) if isinstance(stride, int) else tuple(stride)
+    p = (padding,) * 3 if isinstance(padding, int) else tuple(padding)
+    sz, sy, sx = (int(v) for v in s)
+    pz, py, px = (int(v) for v in p)
+    ny, nx = cg.bev
+    ny_o = (ny + 2 * py - ky) // sy + 1
+    nx_o = (nx + 2 * px - kx) // sx + 1
+    dt = cg.feats.dtype
+
+    y, x = _yx(cg.ids, nx)
+    active_col = cg.cmask & jnp.any(cg.zmask, axis=-1)
+    cand = []
+    for qy in range(-(-ky // sy)):
+        for qx in range(-(-kx // sx)):
+            by = (y + py) // sy - qy
+            bx = (x + px) // sx - qx
+            k_y = y + py - by * sy
+            k_x = x + px - bx * sx
+            ok = active_col & (k_y >= 0) & (k_y < ky) & (k_x >= 0) & \
+                (k_x < kx) & (by >= 0) & (by < ny_o) & (bx >= 0) & \
+                (bx < nx_o)
+            cand.append(jnp.where(ok, by * nx_o + bx, _INT_MAX))
+    out_ids, out_cmask = unique_sorted_ids(jnp.concatenate(cand),
+                                           out_col_cap)
+    yo, xo = _yx(out_ids, nx_o)
+
+    # partials at every input column (kx folded into the contraction,
+    # ky stacked on Cout), with the z stride applied inside the conv
+    um = _zconv(_x_im2col(cg), _w_cat(weight), stride=sz,
+                padding=pz).astype(dt)
+    zmask_f = (cg.zmask & cg.cmask[:, None]).astype(dt)
+    mrolls = jnp.concatenate([
+        jnp.where(_roll_match(cg.ids, cg.cmask, nx, -1)[:, None],
+                  jnp.roll(zmask_f, 1, axis=0), 0.0)[..., None],
+        zmask_f[..., None],
+        jnp.where(_roll_match(cg.ids, cg.cmask, nx, +1)[:, None],
+                  jnp.roll(zmask_f, -1, axis=0), 0.0)[..., None]], -1)
+    mm = _zconv(mrolls, jnp.ones((kz, 3, 3), dt), stride=sz, padding=pz)
+
+    # per-ky gather at the output's center input column (fused search)
+    xc = xo * sx - px + 1
+    qs, oks = [], []
+    for ky_ in range(ky):
+        yi = yo * sy - py + ky_
+        ok = out_cmask & (yi >= 0) & (yi < ny) & (xc >= 0) & (xc < nx)
+        qs.append(jnp.where(ok, yi * nx + xc, -1))
+        oks.append(ok)
+    q = jnp.stack(qs)
+    j = jnp.minimum(jnp.searchsorted(cg.ids, q.reshape(-1), method="sort"),
+                    cg.ids.shape[0] - 1).astype(jnp.int32).reshape(q.shape)
+    found = jnp.stack(oks) & (cg.ids[j] == q)
+    acc = None
+    zm = None
+    for ky_ in range(ky):
+        part = jnp.where(found[ky_][:, None, None],
+                         _gather_rows(um[..., ky_ * cout:(ky_ + 1) * cout],
+                                      j[ky_]), 0.0)
+        acc = part if acc is None else acc + part
+        mpart = jnp.where(found[ky_][:, None], mm[..., ky_][j[ky_]], 0.0)
+        zm = mpart if zm is None else zm + mpart
+    out_zmask = (zm > 0.5) & out_cmask[:, None]
+    feats = jnp.where(out_zmask[..., None], acc, 0.0).astype(dt)
+    return ColumnGrid(feats, out_zmask, out_ids, out_cmask, (ny_o, nx_o))
+
+
+def sparse_conv_col(cg: ColumnGrid, weight: jnp.ndarray, stride, padding,
+                    out_col_cap: int, z_in: Optional[int] = None
+                    ) -> ColumnGrid:
+    """Strided sparse conv generating new output columns/sites.
+
+    weight (kz, ky, kx, Cin, Cout), ky=kx=3 (or 1 for z-only convs);
+    stride/padding int or 3-tuple (z, y, x). Output site active iff any
+    input site lies in its receptive field (spconv SparseConv3d).
+    """
+    kz, ky, kx, cin, cout = weight.shape
+    s = (stride, stride, stride) if isinstance(stride, int) else tuple(stride)
+    p = (padding,) * 3 if isinstance(padding, int) else tuple(padding)
+    sz, sy, sx = (int(v) for v in s)
+    pz, py, px = (int(v) for v in p)
+    ny, nx = cg.bev
+    z = cg.feats.shape[1]
+    z_out = (z + 2 * pz - kz) // sz + 1
+    ny_o = (ny + 2 * py - ky) // sy + 1
+    nx_o = (nx + 2 * px - kx) // sx + 1
+
+    y, x = _yx(cg.ids, nx)
+    # candidate output columns: o = (c + p - k) / s for k in [0, ky).
+    # Columns with no active site (x-dilation slots) spawn no outputs.
+    active_col = cg.cmask & jnp.any(cg.zmask, axis=-1)
+    cand = []
+    for qy in range(-(-ky // sy)):
+        for qx in range(-(-kx // sx)):
+            by = (y + py) // sy - qy
+            bx = (x + px) // sx - qx
+            k_y = y + py - by * sy
+            k_x = x + px - bx * sx
+            ok = active_col & (k_y >= 0) & (k_y < ky) & (k_x >= 0) & \
+                (k_x < kx) & (by >= 0) & (by < ny_o) & (bx >= 0) & \
+                (bx < nx_o)
+            cand.append(jnp.where(ok, by * nx_o + bx, _INT_MAX))
+    out_ids, out_cmask = unique_sorted_ids(jnp.concatenate(cand),
+                                           out_col_cap)
+    yo, xo = _yx(out_ids, nx_o)
+
+    # input taps: in column (yo*sy - py + ky_, xo*sx - px + kx_)
+    qs, valids = [], []
+    for ky_ in range(ky):
+        for kx_ in range(kx):
+            yi = yo * sy - py + ky_
+            xi = xo * sx - px + kx_
+            ok = out_cmask & (yi >= 0) & (yi < ny) & (xi >= 0) & (xi < nx)
+            qs.append(jnp.where(ok, yi * nx + xi, -1))
+            valids.append(ok)
+    q = jnp.stack(qs)
+    valid = jnp.stack(valids)
+    j = jnp.searchsorted(cg.ids, q.reshape(-1),
+                         method="sort").astype(jnp.int32)
+    j = jnp.minimum(j, cg.ids.shape[0] - 1).reshape(q.shape)
+    found = valid & (cg.ids[j] == q)
+
+    acc = None
+    zm = None
+    zmask_f = cg.zmask.astype(cg.feats.dtype)[..., None]
+    ones_w = jnp.ones((kz, 1, 1), cg.feats.dtype)
+    for t in range(ky * kx):
+        ky_, kx_ = t // kx, t % kx
+        nbr = jnp.where(found[t][:, None, None],
+                        _gather_rows(cg.feats, j[t]), 0.0)
+        contrib = _zconv(nbr, weight[:, ky_, kx_], stride=sz, padding=pz)
+        acc = contrib if acc is None else acc + contrib
+        mrow = jnp.where(found[t][:, None], zmask_f[..., 0][j[t]],
+                         0.0)[..., None]
+        mc = _zconv(mrow, ones_w, stride=sz, padding=pz)
+        zm = mc if zm is None else zm + mc
+    out_zmask = (zm[..., 0] > 0.5) & out_cmask[:, None]
+    feats = jnp.where(out_zmask[..., None], acc, 0.0).astype(cg.feats.dtype)
+    return ColumnGrid(feats, out_zmask, out_ids, out_cmask, (ny_o, nx_o))
+
+
+def zconv_col(cg: ColumnGrid, weight: jnp.ndarray, stride: int,
+              padding: int) -> ColumnGrid:
+    """Sparse conv with 1x1 BEV kernel (the encoder's conv_out (3,1,1)):
+    the column set is unchanged, only z is convolved/strided."""
+    kz = weight.shape[0]
+    z = cg.feats.shape[1]
+    z_out = (z + 2 * padding - kz) // stride + 1
+    del z_out
+    acc = _zconv(cg.feats, weight[:, 0, 0], stride=stride, padding=padding)
+    zm = _zconv(cg.zmask.astype(cg.feats.dtype)[..., None],
+                jnp.ones((kz, 1, 1), cg.feats.dtype), stride=stride,
+                padding=padding)
+    out_zmask = (zm[..., 0] > 0.5) & cg.cmask[:, None]
+    feats = jnp.where(out_zmask[..., None], acc, 0.0).astype(cg.feats.dtype)
+    return ColumnGrid(feats, out_zmask, cg.ids, cg.cmask, cg.bev)
+
+
+def column_to_dense(cg: ColumnGrid) -> jnp.ndarray:
+    """Scatter to dense (ny, nx, Z * C) — spconv `.dense()` followed by the
+    encoder's depth-to-channel reshape (reference `sparse_encoder.py:
+    135-137`), channel-last: out[..., z*C:(z+1)*C] = feats[:, z]."""
+    ny, nx = cg.bev
+    vc, z, c = cg.feats.shape
+    rows = cg.feats.reshape(vc, z * c)
+    ids = jnp.where(cg.cmask, cg.ids, ny * nx)
+    flat = jnp.zeros((ny * nx + 1, z * c), cg.feats.dtype)
+    flat = flat.at[ids].set(rows, mode="drop", unique_indices=True,
+                            indices_are_sorted=True)
+    return flat[:-1].reshape(ny, nx, z * c)
+
+
+def column_sites(cg: ColumnGrid) -> Tuple[jnp.ndarray, jnp.ndarray,
+                                          jnp.ndarray]:
+    """Flatten to per-site rows for tests/interop: (coords (Vc*Z, 3) zyx,
+    feats (Vc*Z, C), mask (Vc*Z,))."""
+    ny, nx = cg.bev
+    vc, z, c = cg.feats.shape
+    yy, xx = _yx(jnp.where(cg.cmask, cg.ids, 0), nx)
+    zz = jnp.broadcast_to(jnp.arange(z)[None], (vc, z))
+    coords = jnp.stack([zz, jnp.broadcast_to(yy[:, None], (vc, z)),
+                        jnp.broadcast_to(xx[:, None], (vc, z))], -1)
+    return (coords.reshape(-1, 3), cg.feats.reshape(-1, c),
+            (cg.zmask & cg.cmask[:, None]).reshape(-1))
