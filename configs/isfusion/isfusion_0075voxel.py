@@ -191,6 +191,130 @@ data_root = 'data/nuscenes/'
 input_modality = dict(use_lidar=True, use_camera=True, use_radar=False,
                       use_map=False, use_external=False)
 
+# -- data recipe (parity: reference isfusion_0075voxel.py:194-396) --------
+db_sampler = dict(
+    type='MMDataBaseSamplerV2',
+    data_root=data_root,
+    info_path=data_root + 'nuscenes_dbinfos_train.pkl',
+    rate=1.0,
+    img_num=6,
+    blending_type=None,
+    depth_consistent=True,
+    check_2D_collision=True,
+    collision_thr=[0, 0.3, 0.5, 0.7],
+    mixup=0.7,
+    prepare=dict(
+        filter_by_difficulty=[-1],
+        filter_by_min_points=dict(
+            car=5, truck=5, bus=5, trailer=5, construction_vehicle=5,
+            traffic_cone=5, barrier=5, motorcycle=5, bicycle=5,
+            pedestrian=5)),
+    classes=class_names,
+    sample_groups=dict(
+        car=2, truck=3, construction_vehicle=7, bus=4, trailer=6,
+        barrier=2, motorcycle=6, bicycle=6, pedestrian=2, traffic_cone=2),
+    points_loader=dict(
+        type='LoadPointsFromFile', coord_type='LIDAR', load_dim=5,
+        use_dim=[0, 1, 2, 3, 4]))
+
+train_pipeline = [
+    dict(type='LoadMultiViewImageFromFilesV2', to_float32=True),
+    dict(type='LoadPointsFromFile', coord_type='LIDAR', load_dim=5,
+         use_dim=5),
+    dict(type='LoadPointsFromMultiSweeps', sweeps_num=10,
+         use_dim=[0, 1, 2, 3, 4]),
+    dict(type='LoadAnnotations3D', with_bbox_3d=True, with_label_3d=True),
+    dict(type='ObjectSampleV2', stop_epoch=total_epochs - 2,
+         db_sampler=db_sampler, sample_2d=True),
+    dict(type='ModalMask3D', mode='train', stop_epoch=total_epochs - 2),
+    dict(type='ImageAug3D', final_dim=img_scale, resize_lim=[0.57, 0.825],
+         bot_pct_lim=[0.0, 0.0], rot_lim=[-5.4, 5.4], rand_flip=True,
+         is_train=True),
+    dict(type='GlobalRotScaleTransV2', resize_lim=[0.9, 1.1],
+         rot_lim=[-0.78539816, 0.78539816], trans_lim=0.5, is_train=True),
+    dict(type='RandomFlip3DV2'),
+    dict(type='PointsRangeFilter', point_cloud_range=point_cloud_range),
+    dict(type='ObjectRangeFilter', point_cloud_range=point_cloud_range),
+    dict(type='ObjectNameFilter', classes=class_names),
+    dict(type='ImageNormalize', mean=[0.485, 0.456, 0.406],
+         std=[0.229, 0.224, 0.225]),
+    dict(type='PointShuffle'),
+    dict(type='DefaultFormatBundle3D', class_names=class_names,
+         max_points=max_points, max_gt=128),
+    dict(type='Collect3DV2',
+         keys=['points', 'img', 'gt_bboxes_3d', 'gt_labels_3d'],
+         meta_keys=['camera_intrinsics', 'camera2ego', 'lidar2ego',
+                    'lidar2camera', 'camera2lidar', 'lidar2img',
+                    'img_aug_matrix', 'lidar_aug_matrix']),
+]
+
+test_pipeline = [
+    dict(type='LoadPointsFromFile', coord_type='LIDAR', load_dim=5,
+         use_dim=5),
+    dict(type='LoadPointsFromMultiSweeps', sweeps_num=10,
+         use_dim=[0, 1, 2, 3, 4]),
+    dict(type='LoadMultiViewImageFromFilesV2', to_float32=True),
+    dict(
+        type='MultiScaleFlipAug3D',
+        img_scale=img_scale,
+        pts_scale_ratio=1.0,
+        flip=False,
+        transforms=[
+            dict(type='ImageAug3D', final_dim=img_scale,
+                 resize_lim=[0.72, 0.72], bot_pct_lim=[0.0, 0.0],
+                 rot_lim=[0.0, 0.0], rand_flip=False, is_train=False),
+            dict(type='ImageNormalize', mean=[0.485, 0.456, 0.406],
+                 std=[0.229, 0.224, 0.225]),
+            dict(type='GlobalRotScaleTransV2', resize_lim=[1.0, 1.0],
+                 rot_lim=[0.0, 0.0], trans_lim=0.0, is_train=False),
+            dict(type='RandomFlip3DV2'),
+            dict(type='PointsRangeFilter',
+                 point_cloud_range=point_cloud_range),
+            dict(type='DefaultFormatBundle3D', class_names=class_names,
+                 max_points=max_points, max_gt=128, with_label=False),
+            dict(type='Collect3DV2', keys=['points', 'img'],
+                 meta_keys=['camera_intrinsics', 'camera2ego', 'lidar2ego',
+                            'lidar2camera', 'camera2lidar', 'lidar2img',
+                            'img_aug_matrix', 'lidar_aug_matrix']),
+        ])
+]
+
+data = dict(
+    samples_per_gpu=4,
+    workers_per_gpu=6,
+    train=dict(
+        type='CBGSDataset',
+        dataset=dict(
+            type=dataset_type,
+            data_root=data_root,
+            ann_file=data_root + 'nuscenes_infos_train.pkl',
+            pipeline=train_pipeline,
+            classes=class_names,
+            modality=input_modality,
+            test_mode=False,
+            use_valid_flag=False,
+            box_type_3d='LiDAR',
+            load_interval=1)),
+    val=dict(
+        type=dataset_type,
+        data_root=data_root,
+        ann_file=data_root + 'nuscenes_infos_val.pkl',
+        pipeline=test_pipeline,
+        classes=class_names,
+        modality=input_modality,
+        test_mode=True,
+        box_type_3d='LiDAR'),
+    test=dict(
+        type=dataset_type,
+        data_root=data_root,
+        ann_file=data_root + 'nuscenes_infos_val.pkl',
+        pipeline=test_pipeline,
+        classes=class_names,
+        modality=input_modality,
+        test_mode=True,
+        box_type_3d='LiDAR'))
+evaluation = dict(interval=total_epochs // 2)
+
 optimizer = dict(
     type='AdamW', lr=0.0001, weight_decay=0.01,
     paramwise_cfg=dict(custom_keys={'img_backbone': dict(lr_mult=0.1)}))

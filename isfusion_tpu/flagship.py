@@ -65,6 +65,20 @@ def build_isfusion_flagship(tiny: bool = False):
         model_cfg["pts_voxel_layer"] = dict(
             model_cfg["pts_voxel_layer"], max_voxels=(8000, 8000))
         model_cfg["pillar_max_voxels"] = (2000, 2000)
+        # shallower blocks (every component TYPE stays in the graph:
+        # Swin+FPN, DynamicVFE, column SparseEncoder, HSF+IGF fusion,
+        # SST, SECONDV2, TransFusion head + Hungarian) — the full-depth
+        # graph takes >40 min to compile on the CPU backend the driver's
+        # mesh dryrun uses
+        model_cfg["img_backbone"] = dict(
+            model_cfg["img_backbone"], depths=[1, 1, 2, 1],
+            with_cp=False)
+        model_cfg["pts_middle_encoder"] = dict(
+            model_cfg["pts_middle_encoder"],
+            encoder_channels=((32, 64), (64, 128), (128, 256), (256,)),
+            encoder_paddings=((0, 1), (0, 1), (0, [0, 1, 1]), (0,)))
+        model_cfg["pts_backbone"] = dict(
+            model_cfg["pts_backbone"], layer_nums=[2, 2])
         batch_fn = lambda b: synthetic_multimodal_batch(  # noqa: E731
             b, num_points=8192, num_views=2, img_hw=(128, 352), num_gt=16)
     else:
@@ -157,9 +171,12 @@ def build_flagship(tiny: bool = False) -> Tuple[object, Callable[[int], dict]]:
 
     ``tiny=True`` shrinks point/voxel capacities and the BEV grid for
     CPU-mesh dry runs; shapes stay static either way.
-    Set FLAGSHIP_MODEL=isfusion to use the full IS-Fusion stack.
+    The flagship IS the full IS-Fusion stack (the driver's entry() compile
+    check, multichip dryrun and bench all exercise it); set
+    FLAGSHIP_MODEL=pointpillars for the light LiDAR-only baseline.
     """
-    if os.environ.get("FLAGSHIP_MODEL", "").lower() == "isfusion":
+    if os.environ.get("FLAGSHIP_MODEL",
+                      "isfusion").lower() != "pointpillars":
         return build_isfusion_flagship(tiny=tiny)
     from .config import Config
     from .models import build_detector

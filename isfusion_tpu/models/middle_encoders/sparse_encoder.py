@@ -30,20 +30,14 @@ from ..layers import MaskedBatchNorm, is_sync_norm
 
 
 def _vmap_cols(fn, cg: ColumnGrid, *extra):
-    """vmap a per-sample ColumnGrid function over the leading batch axis."""
-    bev = cg.bev
-    return jax.vmap(lambda f, z, i, c, *e: fn(
-        ColumnGrid(f, z, i, c, bev), *e))(
-            cg.feats, cg.zmask, cg.ids, cg.cmask, *extra)
+    """vmap a per-sample ColumnGrid function over the leading batch axis
+    (``bev`` is static pytree metadata, so the grid maps whole)."""
+    return jax.vmap(fn)(cg, *extra)
 
 
 def _vmap_dilate(cg: ColumnGrid, dil_cap: int):
     """Batched x-dilation; returns (dilated ColumnGrid, y-rulebook)."""
-    bev = cg.bev
-    out, rb = jax.vmap(lambda f, z, i, c: dilate_columns(
-        ColumnGrid(f, z, i, c, bev), dil_cap))(
-            cg.feats, cg.zmask, cg.ids, cg.cmask)
-    return ColumnGrid(out.feats, out.zmask, out.ids, out.cmask, bev), rb
+    return jax.vmap(lambda g: dilate_columns(g, dil_cap))(cg)
 
 
 def _pad3(p) -> Tuple[int, int, int]:
@@ -78,11 +72,9 @@ class _SparseConvModule(nn.Module):
             # remat: regather neighbors in backward instead of keeping the
             # tap tensors alive.
             feats = jax.checkpoint(lambda f, ww: jax.vmap(
-                lambda ff, zz, ii, cc, rs, rf: subm_conv_col_dil(
-                    ColumnGrid(ff, zz, ii, cc, bev), ww, (rs, rf)))(
-                    f, cg.zmask, cg.ids, cg.cmask, *rulebook))(
-                        cg.feats, w)
-            out = cg._replace(feats=feats)
+                lambda g, rs, rf: subm_conv_col_dil(g, ww, (rs, rf)))(
+                    cg.replace(feats=f), *rulebook))(cg.feats, w)
+            out = cg.replace(feats=feats)
         elif tuple(self.kernel_size)[1:] == (1, 1):
             sz = self.stride[0] if isinstance(self.stride,
                                               (tuple, list)) else self.stride
@@ -90,7 +82,7 @@ class _SparseConvModule(nn.Module):
 
             def _conv(f, ww):
                 o = _vmap_cols(lambda g: zconv_col(g, ww, int(sz), pz),
-                               cg._replace(feats=f))
+                               cg.replace(feats=f))
                 return o.feats, o.zmask
             feats, zmask = jax.checkpoint(_conv)(cg.feats, w)
             out = ColumnGrid(feats, zmask, cg.ids, cg.cmask, bev)
@@ -104,16 +96,10 @@ class _SparseConvModule(nn.Module):
             conv_fn = sparse_conv_col_dil if tuple(
                 self.kernel_size)[1:] == (3, 3) else sparse_conv_col
 
-            def _conv(f, ww):
-                o = _vmap_cols(lambda g: conv_fn(
-                    g, ww, stride, pad, out_cap), cg._replace(feats=f))
-                return tuple(o[:4])
-            f, z, i, c = jax.checkpoint(_conv)(cg.feats, w)
-            ny_o = (bev[0] + 2 * pad[1] - self.kernel_size[1]) \
-                // stride[1] + 1
-            nx_o = (bev[1] + 2 * pad[2] - self.kernel_size[2]) \
-                // stride[2] + 1
-            out = ColumnGrid(f, z, i, c, (ny_o, nx_o))
+            out = jax.checkpoint(
+                lambda f, ww: _vmap_cols(lambda g: conv_fn(
+                    g, ww, stride, pad, out_cap), cg.replace(feats=f)))(
+                        cg.feats, w)
         x = out.feats
         if self.norm_cfg is not None:
             cfg = dict(self.norm_cfg)
@@ -125,7 +111,7 @@ class _SparseConvModule(nn.Module):
         if self.with_act:
             x = nn.relu(x)
         x = jnp.where(out.zmask[..., None], x, 0.0).astype(cg.feats.dtype)
-        return out._replace(feats=x)
+        return out.replace(feats=x)
 
 
 class _SparseBasicBlock(nn.Module):
@@ -149,7 +135,7 @@ class _SparseBasicBlock(nn.Module):
             out, train=train, rulebook=rulebook)
         x = nn.relu(out.feats + identity)
         x = jnp.where(out.zmask[..., None], x, 0.0).astype(cg.feats.dtype)
-        return out._replace(feats=x)
+        return out.replace(feats=x)
 
 
 @MIDDLE_ENCODERS.register_module()
@@ -198,13 +184,17 @@ class SparseEncoder(nn.Module):
 
         cg = jax.vmap(lambda f, c, m: build_column_grid(
             f, c, m, grid, cap_for(0)))(voxel_features, coors, voxel_mask)
-        cg = ColumnGrid(cg.feats, cg.zmask, cg.ids, cg.cmask,
-                        (grid[1], grid[2]))
 
         # each stage's subm convs run on the x-dilated column table; the
         # dilation + y-rulebook are rebuilt only after a strided conv
         # changes the BEV footprint (spconv indice_key reuse semantics).
         cg, rulebook = _vmap_dilate(cg, dil_cap_for(0))
+        # block-level remat: each residual block's z-dense activations are
+        # ~365 MB at stage-0 scale; saving every conv output OOMs the
+        # 16 GB chip for the train step. nn.remat keeps only block inputs
+        # and recomputes inside the block during backward.
+        block_cls = nn.remat(_SparseBasicBlock, static_argnums=(2,)) \
+            if train else _SparseBasicBlock
         cg = _SparseConvModule(self.base_channels, norm_cfg=norm_cfg,
                                axis_name=self.axis_name,
                                name="conv_input")(cg, train=train,
@@ -241,10 +231,10 @@ class SparseEncoder(nn.Module):
                                 axis_name=self.axis_name,
                                 name=name + "_proj")(cg, train=train,
                                                      rulebook=rulebook)
-                        cg = _SparseBasicBlock(
+                        cg = block_cls(
                             out_ch, norm_cfg=norm_cfg,
                             axis_name=self.axis_name, name=name)(
-                                cg, train=train, rulebook=rulebook)
+                                cg, train, rulebook)
                 else:
                     cg = _SparseConvModule(
                         out_ch, padding=pad, norm_cfg=norm_cfg,

@@ -30,8 +30,9 @@ All shapes static; batch via vmap.
 """
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
+import flax.struct
 import jax
 import jax.numpy as jnp
 
@@ -44,17 +45,20 @@ _INT_MAX = jnp.iinfo(jnp.int32).max
 SIDE_TAPS = ((-1, -1), (-1, 0), (-1, 1), (1, -1), (1, 0), (1, 1))
 
 
-class ColumnGrid(NamedTuple):
+@flax.struct.dataclass
+class ColumnGrid:
     """Fixed-capacity BEV-sparse, z-dense feature grid (one sample).
 
     Invariant: `ids` ascending, INT_MAX at invalid slots; `feats` zero at
     every inactive site (both ~cmask columns and ~zmask cells).
+    ``bev`` is static pytree metadata, so ColumnGrid passes through
+    jit/vmap/remat whole (shape math stays Python-side).
     """
     feats: jnp.ndarray   # (Vc, Z, C)
     zmask: jnp.ndarray   # (Vc, Z) bool — active voxel sites
     ids: jnp.ndarray     # (Vc,) int32 BEV id = y * nx + x, ascending
     cmask: jnp.ndarray   # (Vc,) bool — column slot valid
-    bev: Tuple[int, int]  # (ny, nx) static
+    bev: Tuple[int, int] = flax.struct.field(pytree_node=False)
 
 
 def _yx(ids: jnp.ndarray, nx: int) -> Tuple[jnp.ndarray, jnp.ndarray]:

@@ -64,7 +64,7 @@ def test_subm_conv_col_matches_dense():
         size=(3, 3, 3, 5, 7)).astype(np.float32))
     out = jax.jit(subm_conv_col)(cg, w)
     oracle = np.asarray(dense_conv(dense_of(feats, coords, mask), w))
-    got = site_map(cg._replace(feats=out))
+    got = site_map(cg.replace(feats=out))
     for c, f in got.items():
         np.testing.assert_allclose(f, oracle[c], rtol=1e-4, atol=1e-5)
 
@@ -87,7 +87,7 @@ def test_subm_conv_col_rulebook_reuse_and_x_adjacency():
     rb = column_rulebook(cg)
     out = subm_conv_col(cg, w, rb)
     oracle = np.asarray(dense_conv(dense_of(feats, coords, mask), w))
-    for c, f in site_map(cg._replace(feats=out)).items():
+    for c, f in site_map(cg.replace(feats=out)).items():
         np.testing.assert_allclose(f, oracle[c], rtol=1e-4, atol=1e-5)
 
 
@@ -140,7 +140,7 @@ def test_subm_conv_col_dil_matches_dense(seed, n_active):
     out = jax.jit(lambda g, rs, rf: subm_conv_col_dil(g, w, (rs, rf)))(
         dil, *rb)
     oracle = np.asarray(dense_conv(dense_of(feats, coords, mask), w))
-    got = site_map(dil._replace(feats=out))
+    got = site_map(dil.replace(feats=out))
     occ = {tuple(c) for c in np.asarray(coords)[np.asarray(mask)]}
     assert set(got) == occ  # dilation slots carry no active sites
     for c, f in got.items():
@@ -207,7 +207,7 @@ def test_gradients_flow():
     w = jnp.ones((3, 3, 3, 5, 4), jnp.float32) * 0.1
 
     def loss(w, f):
-        out = subm_conv_col(cg._replace(feats=f), w)
+        out = subm_conv_col(cg.replace(feats=f), w)
         return jnp.sum(out ** 2)
 
     gw, gf = jax.grad(loss, argnums=(0, 1))(w, cg.feats)
