@@ -271,11 +271,56 @@ class NuScenesDataset(Custom3DDataset):
         return dict(mAP=metrics["mean_ap"], NDS=metrics["nd_score"])
 
     def _evaluate_internal(self, results: List[dict]) -> dict:
-        """Self-contained nuScenes detection protocol over info-pkl GT."""
+        """Self-contained, devkit-exact nuScenes detection protocol over
+        info-pkl GT: class-range + zero-point GT filtering, 5-TP-metric
+        NDS; AAE when the converter stored `gt_attrs` in the infos."""
         from ..core.evaluation.nuscenes_eval import nuscenes_style_eval
-        gts = []
+
+        def det_attr(name: str, box: np.ndarray) -> str:
+            # same velocity rule as _format_bbox / the reference
+            speed = float(np.linalg.norm(box[7:9])) if len(box) >= 9 else 0.0
+            if speed > 0.2 and name in ('car', 'construction_vehicle',
+                                        'bus', 'truck', 'trailer'):
+                return 'vehicle.moving'
+            if speed > 0.2 and name in ('bicycle', 'motorcycle'):
+                return 'cycle.with_rider'
+            return self.DefaultAttribute[name]
+
+        results = [dict(r) for r in results]
+        for r in results:
+            boxes = np.asarray(r.get("bboxes", r.get("boxes")))
+            labels = np.asarray(r["labels"])
+            r["attrs"] = np.asarray(
+                [det_attr(self.CLASSES[int(l)], boxes[i])
+                 if 0 <= int(l) < len(self.CLASSES) else ""
+                 for i, l in enumerate(labels)])
+        gts, egos = [], []
         for idx in range(len(results)):
-            ann = self.get_ann_info(idx)
-            gts.append(dict(boxes=ann["gt_bboxes_3d"].numpy(),
-                            labels=ann["gt_labels_3d"]))
-        return nuscenes_style_eval(results, gts, list(self.CLASSES))
+            info = self.data_infos[idx]
+            mask = np.ones(len(info["gt_names"]), bool)  # eval keeps all;
+            # the devkit zero-point filter is applied inside the evaluator
+            boxes = np.asarray(info["gt_boxes"], np.float32)[mask]
+            names = np.asarray(info["gt_names"])[mask]
+            labels = np.asarray(
+                [self.cat2id.get(n, -1) for n in names], np.int64)
+            if self.with_velocity and "gt_velocity" in info:
+                vel = np.nan_to_num(
+                    np.asarray(info["gt_velocity"], np.float32))[mask]
+                boxes = np.concatenate([boxes, vel], axis=-1)
+            num_pts = None
+            if "num_lidar_pts" in info:
+                num_pts = (np.asarray(info["num_lidar_pts"])[mask] +
+                           np.asarray(info.get(
+                               "num_radar_pts",
+                               np.zeros(mask.sum())))[mask])
+            attrs = np.asarray(info["gt_attrs"])[mask] \
+                if "gt_attrs" in info else None
+            gts.append(dict(boxes=boxes, labels=labels, num_pts=num_pts,
+                            attrs=attrs))
+            # range filtering is ego-centric in the devkit; lidar->ego is
+            # a pure translation (rotation leaves BEV distances intact)
+            l2e = np.asarray(info.get("lidar2ego_translation",
+                                      [0.0, 0.0, 0.0]), np.float64)
+            egos.append(-l2e[:2])
+        return nuscenes_style_eval(results, gts, list(self.CLASSES),
+                                   ego_translations=egos)

@@ -128,9 +128,15 @@ def create_nuscenes_infos(root_path: str, info_prefix: str,
         # annotations in the LiDAR frame
         boxes = nusc.get_boxes(lidar_token)
         locs, dims, rots, names, vels = [], [], [], [], []
-        num_pts, valid = [], []
+        num_pts, valid, attrs = [], [], []
         for box, ann_tok in zip(boxes, sample["anns"]):
             ann = nusc.get("sample_annotation", ann_tok)
+            # attribute name (for the devkit-exact AAE metric)
+            if len(ann.get("attribute_tokens", [])):
+                attrs.append(nusc.get(
+                    "attribute", ann["attribute_tokens"][0])["name"])
+            else:
+                attrs.append("")
             # global -> ego -> lidar
             c = e2g_r.T @ (np.asarray(box.center) - e2g_t)
             c = l2e_r.T @ (c - l2e_t)
@@ -158,6 +164,7 @@ def create_nuscenes_infos(root_path: str, info_prefix: str,
             gt_names=np.asarray(names),
             gt_velocity=np.asarray(vels, np.float32).reshape(-1, 2),
             num_lidar_pts=np.asarray(num_pts),
+            gt_attrs=np.asarray(attrs),
             valid_flag=np.asarray(valid, bool)))
         (train_infos if scene in train_scenes else val_infos).append(info)
 

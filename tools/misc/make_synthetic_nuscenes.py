@@ -106,6 +106,14 @@ def make_sample(rng, out, split_dir, idx, num_points, img_hw, n_sweeps=3):
 
     n_gt = int(rng.integers(8, 24))
     names = rng.choice(CLASSES, n_gt)
+    attr_of = {"car": "vehicle.parked", "truck": "vehicle.parked",
+               "bus": "vehicle.stopped", "trailer": "vehicle.parked",
+               "construction_vehicle": "vehicle.parked",
+               "motorcycle": "cycle.without_rider",
+               "bicycle": "cycle.without_rider",
+               "pedestrian": "pedestrian.standing",
+               "barrier": "", "traffic_cone": ""}
+    attrs = np.asarray([attr_of[str(n)] for n in names])
     boxes = np.zeros((n_gt, 7), np.float32)
     for gi, n in enumerate(names):
         l, wd, ht = SIZES[str(n)]
@@ -135,6 +143,7 @@ def make_sample(rng, out, split_dir, idx, num_points, img_hw, n_sweeps=3):
         gt_names=names.astype(str),
         gt_velocity=rng.uniform(-3, 3, (n_gt, 2)).astype(np.float32),
         num_lidar_pts=np.full(n_gt, 25),
+        gt_attrs=attrs,
         num_radar_pts=np.zeros(n_gt, int),
         valid_flag=np.ones(n_gt, bool),
         lidar2ego_rotation=[1.0, 0, 0, 0],
