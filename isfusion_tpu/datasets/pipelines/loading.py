@@ -79,7 +79,8 @@ class LoadPointsFromMultiSweeps:
         points = results["points"]
         # add the time-lag channel (0 for the key frame)
         pts = points.tensor
-        pts[:, 4] = 0.0 if pts.shape[1] > 4 else 0.0
+        if pts.shape[1] > 4:
+            pts[:, 4] = 0.0
         sweep_points = [pts]
         ts = results.get("timestamp", 0) / 1e6
         sweeps = results.get("sweeps", [])

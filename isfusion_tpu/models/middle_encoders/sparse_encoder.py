@@ -192,9 +192,12 @@ class SparseEncoder(nn.Module):
         # block-level remat: each residual block's z-dense activations are
         # ~365 MB at stage-0 scale; saving every conv output OOMs the
         # 16 GB chip for the train step. nn.remat keeps only block inputs
-        # and recomputes inside the block during backward.
+        # and recomputes inside the block during backward. Skipped on the
+        # CPU backend (virtual-device mesh dryruns): host RAM is not the
+        # constraint there and lifted remat balloons XLA:CPU compile time.
         block_cls = nn.remat(_SparseBasicBlock, static_argnums=(2,)) \
-            if train else _SparseBasicBlock
+            if train and jax.default_backend() != "cpu" \
+            else _SparseBasicBlock
         cg = _SparseConvModule(self.base_channels, norm_cfg=norm_cfg,
                                axis_name=self.axis_name,
                                name="conv_input")(cg, train=train,

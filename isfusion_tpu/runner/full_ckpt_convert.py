@@ -1,0 +1,421 @@
+"""Full-detector PyTorch -> flax checkpoint conversion for IS-Fusion.
+
+Extends the Swin-only converter (`runner/ckpt_convert.py`) to the whole
+`ISFusionDetector` tree, mapping the reference's state_dict naming
+(modules cited below) onto this framework's flax variables:
+
+  img_backbone.*        mmdet3d/models/backbones/swin.py (via ckpt_convert)
+  img_neck.*            necks/generalized_lss.py (lateral_convs/fpn_convs)
+  pts_voxel_encoder.*   voxel_encoders/voxel_encoder.py:288 (vfe_layers)
+  pts_middle_encoder.*  middle_encoders/sparse_encoder.py:19
+                        (conv_input / encoder_layers / conv_out; spconv2
+                        checkpoints store 5-D weights (out, D, H, W, in) —
+                        see ops/spconv/overwrite_spconv/write_spconv2.py:66)
+  fusion_encoder.*      middle_encoders/fusion_encoder.py:833
+  pts_backbone.*        backbones/second.py:99 (SECONDV2 blocks/ds_layer)
+  pts_neck.*            necks/second_fpn.py:12 (deblocks)
+  pts_bbox_head.*       dense_heads/transfusion_head_v2.py:593
+
+Layout conversions: torch Linear (out, in) -> flax (in, out); Conv2d OIHW
+-> HWIO; Conv1d (out, in, 1) -> dense (in, out); ConvTranspose2d
+(in, out, kh, kw) -> (kh, kw, out... flax ConvTranspose (kh, kw, in, out);
+nn.MultiheadAttention in_proj (3E, E) -> per-head q/k/v kernels
+(E, H, D); BN weight/bias/running stats -> scale/bias + batch_stats.
+
+One real architecture divergence is handled explicitly: this framework's
+SparseEncoder emits the dense BEV with channel order z*C+c while the
+reference's `.dense()` + reshape gives c*D+z (`sparse_encoder.py:135`),
+so the input channels of the first consumer (`fusion_encoder.conv_fusion`)
+are permuted on the lidar block.
+
+No public IS-Fusion checkpoint ships in this environment; correctness is
+guarded by a roundtrip test (tests/test_runtime/test_full_ckpt_convert.py)
+that synthesizes a reference-layout state dict covering OUR complete
+parameter tree and asserts exact tree/shape agreement after conversion.
+"""
+from __future__ import annotations
+
+import re
+from typing import Dict, Tuple
+
+import numpy as np
+
+from .ckpt_convert import convert_swin_torch_to_flax
+
+
+def _t(x) -> np.ndarray:
+    if hasattr(x, "detach"):
+        x = x.detach().cpu().numpy()
+    return np.asarray(x)
+
+
+# ---------------------------------------------------------------- helpers
+def dense_w(v):
+    return _t(v).T
+
+
+def conv2d_w(v):
+    return _t(v).transpose(2, 3, 1, 0)
+
+
+def conv1d_w(v):
+    return _t(v)[:, :, 0].T
+
+
+def deconv2d_w(v):
+    return _t(v).transpose(2, 3, 0, 1)
+
+
+def sparse5d_w(v):
+    """spconv2 checkpoint layout (out, kz, ky, kx, in) -> ours
+    (kz, ky, kx, in, out)."""
+    return _t(v).transpose(1, 2, 3, 4, 0)
+
+
+def mha_qkv(sd, base, which, heads):
+    w = _t(sd[base + "in_proj_weight"])
+    b = _t(sd[base + "in_proj_bias"])
+    e = w.shape[1]
+    i = {"q": 0, "k": 1, "v": 2}[which]
+    wi = w[i * e:(i + 1) * e]           # (E, E)
+    bi = b[i * e:(i + 1) * e]
+    return wi.T.reshape(e, heads, e // heads), bi.reshape(heads, e // heads)
+
+
+def mha_out(sd, base, heads):
+    w = _t(sd[base + "out_proj.weight"])   # (E, E)
+    b = _t(sd[base + "out_proj.bias"])
+    e = w.shape[0]
+    return w.T.reshape(heads, e // heads, e), b
+
+
+# ------------------------------------------------------------ conversion
+def convert_isfusion_torch_to_flax(sd: Dict[str, "object"],
+                                   variables: Dict) -> Tuple[Dict, list]:
+    """sd: reference-format state_dict; variables: our
+    {'params', 'batch_stats'} template (shapes used only for head counts).
+    Returns (new variables dict, list of unmatched our-paths)."""
+    import copy
+    out = copy.deepcopy(
+        {"params": variables["params"],
+         "batch_stats": variables.get("batch_stats", {})})
+    missing = []
+
+    def heads_of(path_val):
+        return path_val.shape[-2] if path_val.ndim == 3 else None
+
+    def visit(tree, path):
+        for k in list(tree.keys()):
+            v = tree[k]
+            if isinstance(v, dict):
+                visit(v, path + (k,))
+            else:
+                r = resolve(path + (k,), v)
+                if r is None:
+                    missing.append("/".join(path + (k,)))
+                else:
+                    tree[k] = np.asarray(r, dtype=np.asarray(v).dtype) \
+                        if not hasattr(r, "shape") or True else r
+
+    def get_nested(d, path):
+        for p in path:
+            d = d[p]
+        return d
+
+    def convmodule(base, sub, leaf, col, v):
+        """ConvModule: base.conv / base.bn."""
+        if sub == "Conv_0":
+            return conv2d_w(sd[base + ".conv.weight"]) if leaf == "kernel" \
+                else _t(sd[base + ".conv.bias"])
+        table = {("scale", "params"): ".bn.weight",
+                 ("bias", "params"): ".bn.bias",
+                 ("mean", "stats"): ".bn.running_mean",
+                 ("var", "stats"): ".bn.running_var"}
+        return _t(sd[base + table[(leaf, col)]])
+
+    def bn(base, leaf, col):
+        table = {("scale", "params"): ".weight", ("bias", "params"): ".bias",
+                 ("mean", "stats"): ".running_mean",
+                 ("var", "stats"): ".running_var"}
+        return _t(sd[base + table[(leaf, col)]])
+
+    def ln(base, leaf):
+        return _t(sd[base + (".weight" if leaf == "scale" else ".bias")])
+
+    def posembed(base, name, leaf, col):
+        # PositionEmbeddingLearned: position_embedding_head = Sequential(
+        # Conv1d, BN1d, ReLU, Conv1d) (transfusion_head_v2.py:30)
+        b = base + ".position_embedding_head"
+        if name == "fc1":
+            return conv1d_w(sd[b + ".0.weight"]) if leaf == "kernel" \
+                else _t(sd[b + ".0.bias"])
+        if name == "fc2":
+            return conv1d_w(sd[b + ".3.weight"]) if leaf == "kernel" \
+                else _t(sd[b + ".3.bias"])
+        return bn(b + ".1", leaf, col)
+
+    def attn_layer(base, name, leaf, v, heads=None):
+        # head count from the leaf layout: q/k/v kernel (E, H, D),
+        # q/k/v bias (H, D), out kernel (H, D, E)
+        if name in ("query", "key", "value"):
+            h = v.shape[1] if v.ndim == 3 else v.shape[0]
+            w, b_ = mha_qkv(sd, base + ".", {"query": "q", "key": "k",
+                                             "value": "v"}[name], h)
+            return w if leaf == "kernel" else b_
+        h = v.shape[0] if v.ndim == 3 else 1
+        w, b_ = mha_out(sd, base + ".", h)
+        return w if leaf == "kernel" else b_
+
+    def deform_attn(base, name, leaf):
+        key = f"{base}.{name}.{'weight' if leaf == 'kernel' else 'bias'}"
+        return dense_w(sd[key]) if leaf == "kernel" else _t(sd[key])
+
+    def sst_layer(tbase, rest, v):
+        """rest like ('win_attn', 'query', 'kernel') or
+        ('linear1', 'kernel') / ('norm1', 'scale')."""
+        name = rest[0]
+        if name == "win_attn":
+            return attn_layer(tbase + ".win_attn.self_attn", rest[1],
+                              rest[2], v)
+        if name.startswith("linear"):
+            k = f"{tbase}.{name}.{'weight' if rest[1] == 'kernel' else 'bias'}"
+            return dense_w(sd[k]) if rest[1] == "kernel" else _t(sd[k])
+        return ln(f"{tbase}.{name}", rest[1])
+
+    def resolve(path, v):
+        col = "stats" if path[0] == "batch_stats" else "params"
+        p = path[1:]
+        mod = p[0]
+        try:
+            # -------------------------------------------------- img branch
+            # (leaf-driven inverse of ckpt_convert.convert_swin_torch_to
+            # _flax: mmdet Swin key naming)
+            if mod == "img_backbone_m":
+                ib = "img_backbone"
+                name, leaf = p[1], p[-1]
+                if name == "patch_embed":
+                    key = f"{ib}.patch_embed.projection." + (
+                        "weight" if leaf == "kernel" else "bias")
+                    return conv2d_w(sd[key]) if leaf == "kernel" \
+                        else _t(sd[key])
+                if name == "patch_norm":
+                    return ln(f"{ib}.patch_embed.norm", leaf)
+                if m := re.match(r"out_norm(\d+)", name):
+                    return ln(f"{ib}.norm{m.group(1)}", leaf)
+                if m := re.match(r"downsample(\d+)", name):
+                    db = f"{ib}.stages.{m.group(1)}.downsample"
+                    if p[2] == "norm":
+                        return ln(f"{db}.norm", leaf)
+                    return dense_w(sd[f"{db}.reduction.weight"]) \
+                        if leaf == "kernel" \
+                        else _t(sd[f"{db}.reduction.bias"])
+                m = re.match(r"stage(\d+)_block(\d+)", name)
+                bb = f"{ib}.stages.{m.group(1)}.blocks.{m.group(2)}"
+                sub = p[2]
+                if sub in ("norm1", "norm2"):
+                    return ln(f"{bb}.{sub}", leaf)
+                if sub == "ffn_fc1":
+                    key = f"{bb}.ffn.layers.0.0." + (
+                        "weight" if leaf == "kernel" else "bias")
+                    return dense_w(sd[key]) if leaf == "kernel" \
+                        else _t(sd[key])
+                if sub == "ffn_fc2":
+                    key = f"{bb}.ffn.layers.1." + (
+                        "weight" if leaf == "kernel" else "bias")
+                    return dense_w(sd[key]) if leaf == "kernel" \
+                        else _t(sd[key])
+                if sub == "attn":       # attn/w_msa/{qkv,proj,rpbt}
+                    inner = p[4] if len(p) > 4 else p[3]
+                    if p[3] == "w_msa" and \
+                            inner == "relative_position_bias_table":
+                        return _t(sd[
+                            f"{bb}.attn.w_msa.relative_position_bias_table"])
+                    key = f"{bb}.attn.w_msa.{inner}." + (
+                        "weight" if leaf == "kernel" else "bias")
+                    return dense_w(sd[key]) if leaf == "kernel" \
+                        else _t(sd[key])
+            if mod == "img_neck_m":
+                m = re.match(r"(lateral|fpn)_(\d+)", p[1])
+                base = (f"img_neck.{'lateral_convs' if m.group(1) == 'lateral' else 'fpn_convs'}"
+                        f".{m.group(2)}")
+                leaf = p[-1]
+                sub = p[2] if p[2] in ("Conv_0",) else "bn"
+                if p[2] == "Conv_0":
+                    return convmodule(base, "Conv_0", leaf, col, v)
+                return convmodule(base, "bn", leaf, col, v)
+            # ----------------------------------------------------- lidar
+            if mod == "pts_voxel_encoder_m":
+                i = int(re.match(r"LinearNormAct_(\d+)", p[1]).group(1))
+                base = f"pts_voxel_encoder.vfe_layers.{i}"
+                if p[2] == "Dense_0":
+                    return dense_w(sd[base + ".linear.weight"]) \
+                        if p[-1] == "kernel" else _t(sd[base + ".linear.bias"])
+                return bn(base + ".norm", p[-1], col)
+            if mod == "pts_middle_encoder_m":
+                name = p[1]
+                if name == "conv_input":
+                    base = "pts_middle_encoder.conv_input"
+                    if p[2] == "kernel":
+                        return sparse5d_w(sd[base + ".0.weight"])
+                    return bn(base + ".1", p[-1], col)
+                if name == "conv_out":
+                    base = "pts_middle_encoder.conv_out"
+                    if p[2] == "kernel":
+                        return sparse5d_w(sd[base + ".0.weight"])
+                    return bn(base + ".1", p[-1], col)
+                m = re.match(r"encoder_layer(\d+)_(\d+)(_proj)?", name)
+                i, j = int(m.group(1)), int(m.group(2))
+                base = f"pts_middle_encoder.encoder_layers.encoder_layer{i}.{j}"
+                if p[2] == "kernel":           # strided conv module
+                    return sparse5d_w(sd[base + ".0.weight"])
+                if p[2] == "MaskedBatchNorm_0":
+                    return bn(base + ".1", p[-1], col)
+                # basicblock: _SparseConvModule_{0,1} -> conv1/bn1, conv2/bn2
+                k = int(re.match(r"_SparseConvModule_(\d+)", p[2]).group(1))
+                if p[3] == "kernel":
+                    return sparse5d_w(sd[f"{base}.conv{k + 1}.weight"])
+                return bn(f"{base}.bn{k + 1}", p[-1], col)
+            # ----------------------------------------------------- fusion
+            if mod == "fusion_encoder_m":
+                name = p[1]
+                fb = "fusion_encoder"
+                if name in ("conv_fusion", "conv_ins", "conv_scene",
+                            "conv_heatmap", "heatmap_head_1",
+                            "heatmap_head_2"):
+                    sub = p[2] if p[2] == "Conv_0" else "bn"
+                    val = convmodule(f"{fb}.{name}", sub, p[-1], col, v)
+                    if name == "conv_fusion" and p[-1] == "kernel":
+                        # lidar block channel order: ref c*D+z -> ours z*C+c
+                        val = np.array(val)
+                        nimg = 256 if val.shape[2] > 512 else \
+                            val.shape[2] - 512
+                        lid = val[:, :, nimg:, :]
+                        c_l = lid.shape[2]
+                        d = 2
+                        cc = c_l // d
+                        perm = np.arange(c_l).reshape(cc, d).T.reshape(-1)
+                        val[:, :, nimg:, :] = lid[:, :, perm, :]
+                    return val
+                if name == "heatmap_head_3":
+                    key = f"{fb}.heatmap_head_3." + (
+                        "weight" if p[-1] == "kernel" else "bias")
+                    return conv2d_w(sd[key]) if p[-1] == "kernel" \
+                        else _t(sd[key])
+                m = re.match(r"grid2region_(\d+)", name)
+                if m:
+                    lvl = int(m.group(1))
+                    tb = f"{fb}.grid2region_att.{lvl}"
+                    if p[2] == "linear0":
+                        k = f"{tb}.linear0." + (
+                            "weight" if p[-1] == "kernel" else "bias")
+                        return dense_w(sd[k]) if p[-1] == "kernel" \
+                            else _t(sd[k])
+                    bm = re.match(r"block(\d+)_layer(\d+)", p[2])
+                    eb = f"{tb}.block_list.{bm.group(1)}.encoder_list." \
+                         f"{bm.group(2)}"
+                    return sst_layer(eb, p[3:], v)
+                if name == "instance_att":
+                    ib = f"{fb}.instance_att"
+                    if p[2] in ("key_pos_embed", "query_pos_embed"):
+                        return posembed(f"{ib}.{p[2]}", p[3], p[-1], col)
+                    lm = re.match(r"layer_(\d+)", p[2])
+                    lb = f"{ib}.decoder.layers.{lm.group(1)}"
+                    sub = p[3]
+                    if sub == "cross_attn":
+                        return deform_attn(f"{lb}.cross_attn", p[4], p[-1])
+                    if sub == "self_attn":
+                        return attn_layer(f"{lb}.self_attn", p[4], p[-1], v)
+                    return sst_layer(lb, p[3:], v)
+                if name == "instance_to_scene_att":
+                    ib = f"{fb}.instance_to_scene_att"
+                    if p[2] == "multihead_attn":
+                        return attn_layer(f"{ib}.multihead_attn", p[3],
+                                          p[-1], v)
+                    return ln(f"{ib}.norm", p[-1])
+            # ------------------------------------------------- pts 2D BEV
+            if mod == "pts_backbone_m":
+                if p[1] == "ds_layer":
+                    base = "pts_backbone.ds_layer"
+                    if p[2] == "Conv_0":
+                        return conv2d_w(sd[base + ".0.weight"])
+                    return bn(base + ".1", p[-1], col)
+                bm = re.match(r"block(\d+)", p[1])
+                cm = re.match(r"ConvModule_(\d+)", p[2])
+                j = int(cm.group(1))
+                base = f"pts_backbone.blocks.{bm.group(1)}"
+                if p[3] == "Conv_0":
+                    return conv2d_w(sd[f"{base}.{3 * j}.weight"])
+                return bn(f"{base}.{3 * j + 1}", p[-1], col)
+            if mod == "pts_neck_m":
+                # deblocks ordered by scale; ConvModule = stride-1 deblock,
+                # ConvTransposeModule = stride>1 (flagship: [conv, deconv])
+                if p[1].startswith("ConvModule"):
+                    i = int(p[1].split("_")[1])
+                    base = f"pts_neck.deblocks.{i}"
+                    if p[2] == "Conv_0":
+                        return conv2d_w(sd[base + ".0.weight"])
+                    return bn(base + ".1", p[-1], col)
+                i = int(p[1].split("_")[1]) + 1
+                base = f"pts_neck.deblocks.{i}"
+                if p[2] == "ConvTranspose_0":
+                    return deconv2d_w(sd[base + ".0.weight"])
+                return bn(base + ".1", p[-1], col)
+            # -------------------------------------------------------- head
+            if mod == "pts_bbox_head_m":
+                hb = "pts_bbox_head"
+                name = p[1]
+                if name == "shared_conv":
+                    key = f"{hb}.shared_conv." + (
+                        "weight" if p[-1] == "kernel" else "bias")
+                    return conv2d_w(sd[key]) if p[-1] == "kernel" \
+                        else _t(sd[key])
+                if name == "heatmap_conv":
+                    sub = p[2] if p[2] == "Conv_0" else "bn"
+                    return convmodule(f"{hb}.heatmap_head.0", sub, p[-1],
+                                      col, v)
+                if name == "heatmap_out":
+                    key = f"{hb}.heatmap_head.1." + (
+                        "weight" if p[-1] == "kernel" else "bias")
+                    return conv2d_w(sd[key]) if p[-1] == "kernel" \
+                        else _t(sd[key])
+                if name == "class_encoding":
+                    key = f"{hb}.class_encoding." + (
+                        "weight" if p[-1] == "kernel" else "bias")
+                    return conv1d_w(sd[key]) if p[-1] == "kernel" \
+                        else _t(sd[key])
+                dm = re.match(r"decoder_(\d+)", name)
+                if dm:
+                    db = f"{hb}.decoder.{dm.group(1)}"
+                    sub = p[2]
+                    if sub in ("self_attn", "cross_attn"):
+                        tname = "self_attn" if sub == "self_attn" \
+                            else "multihead_attn"
+                        return attn_layer(f"{db}.{tname}", p[3], p[-1], v)
+                    if sub in ("self_posembed", "cross_posembed"):
+                        return posembed(f"{db}.{sub}", p[3], p[-1], col)
+                    return sst_layer(db, p[2:], v)
+                pm = re.match(r"pred_(\d+)", name)
+                if pm:
+                    pb = f"{hb}.prediction_heads.{pm.group(1)}"
+                    tm = re.match(r"([a-z]+)_(0|final)(_bn)?", p[2])
+                    task, idx, is_bn = tm.group(1), tm.group(2), tm.group(3)
+                    # FFN task Sequential: ConvModule(conv1d+bn) x n then
+                    # final conv1d (transfusion_head_v2.py:505)
+                    if is_bn:
+                        return bn(f"{pb}.{task}.{idx}.bn", p[-1], col)
+                    if idx == "final":
+                        key = f"{pb}.{task}.1." + (
+                            "weight" if p[-1] == "kernel" else "bias")
+                    else:
+                        key = f"{pb}.{task}.0.conv." + (
+                            "weight" if p[-1] == "kernel" else "bias")
+                    return conv1d_w(sd[key]) if p[-1] == "kernel" \
+                        else _t(sd[key])
+        except (KeyError, AttributeError):
+            return None
+        return None
+
+    visit(out["params"], ("params",))
+    if out["batch_stats"]:
+        visit(out["batch_stats"], ("batch_stats",))
+    return out, missing
