@@ -97,6 +97,12 @@ def train_model(model, dataset, cfg, work_dir: str = "work_dir",
     os.makedirs(work_dir, exist_ok=True)
     log_path = os.path.join(work_dir, "train_log.jsonl")
 
+    # jax.profiler trace window (SURVEY §5: the TPU replacement for the
+    # reference's IterTimerHook timing analysis): set cfg.profile_dir (or
+    # tools/train.py --profile DIR) to capture steps 3..8 as an xplane.
+    profile_dir = cfg.get("profile_dir")
+    prof_started = False
+
     step_rng = jax.random.PRNGKey(int(cfg.get("seed", 0) or 0) + 1)
     global_step = start_epoch * steps_per_epoch
     for epoch in range(start_epoch, total_epochs):
@@ -105,9 +111,18 @@ def train_model(model, dataset, cfg, work_dir: str = "work_dir",
         for i, batch in enumerate(loader):
             arrays = _device_put_batch(batch, mesh)
             data_time = time.perf_counter() - t_data
+            if profile_dir and global_step == 3 and not prof_started:
+                jax.profiler.start_trace(str(profile_dir))
+                prof_started = True
             state, metrics = step_fn(
                 state, arrays, jax.random.fold_in(step_rng, global_step))
             global_step += 1
+            if prof_started and global_step == 8:
+                jax.tree_util.tree_map(
+                    lambda x: x.block_until_ready(), metrics)
+                jax.profiler.stop_trace()
+                prof_started = False
+                logger.info("profiler trace written to %s", profile_dir)
             if global_step % log_interval == 0 or i == 0:
                 metrics = {k: float(v) for k, v in
                            jax.device_get(metrics).items()}
@@ -123,4 +138,30 @@ def train_model(model, dataset, cfg, work_dir: str = "work_dir",
         if (epoch + 1) % ckpt_interval == 0 and jax.process_index() == 0:
             save_checkpoint(work_dir, jax.device_get(state),
                             step=epoch + 1, meta=dict(epoch=epoch + 1))
+        # EvalHook parity: reference registers mid-training validation
+        # every `evaluation.interval` epochs (config `:419`, mmcv
+        # EvalHook); metrics land in the jsonl log with mode='val'.
+        eval_interval = int(dict(cfg.get("evaluation", {}) or {}).get(
+            "interval", 0) or 0)
+        if eval_interval and (epoch + 1) % eval_interval == 0 and \
+                "data" in cfg and "val" in cfg.data:
+            try:
+                from ..datasets import build_dataset, build_dataloader
+                from .test import single_device_test
+                val_ds = build_dataset(cfg.data["val"])
+                val_loader = build_dataloader(
+                    val_ds, samples_per_gpu=samples_per_gpu,
+                    workers_per_gpu=workers, shuffle=False)
+                results = single_device_test(model, state, val_loader,
+                                             mesh=mesh)
+                metrics = val_ds.evaluate(results)
+                rec = dict(mode="val", epoch=epoch + 1,
+                           **{k: (round(float(v), 5)
+                                  if isinstance(v, (int, float)) else v)
+                              for k, v in metrics.items()})
+                logger.info("%s", rec)
+                with open(log_path, "a") as f:
+                    f.write(json.dumps(rec) + "\n")
+            except Exception:   # noqa: BLE001 - eval must not kill a run
+                logger.exception("mid-training eval failed")
     return state

@@ -61,6 +61,7 @@ class MMDataBaseSamplerV2:
         self.classes = list(classes or [])
         self.cat2label = {c: i for i, c in enumerate(self.classes)}
         self.img_num = img_num
+        self.blending_type = blending_type
         self.depth_consistent = depth_consistent
         self.check_2D_collision = check_2D_collision
         self.collision_thr = collision_thr
@@ -98,14 +99,56 @@ class MMDataBaseSamplerV2:
         pts[:, :3] += np.asarray(info["box3d_lidar"][:3], np.float32)
         return pts
 
+    def _pick_collision_thr(self) -> float:
+        """collision_thr may be a float, a list (uniform choice) or a dict
+        (mode 'value'/'range') — `dbsampler.py:952-965`."""
+        thr = self.collision_thr
+        if isinstance(thr, (int, float)):
+            return float(thr)
+        if isinstance(thr, (list, tuple)):
+            return float(np.random.choice(list(thr)))
+        if isinstance(thr, dict):
+            if thr.get("mode", "value") == "range":
+                lo, hi = thr["thr_range"]
+                return float(np.random.uniform(lo, hi))
+            return float(np.random.choice(list(thr["thr_range"])))
+        return 0.0
+
+    @staticmethod
+    def _coll_2d(total_2d: np.ndarray, thr: float) -> np.ndarray:
+        """2D-image collision matrix: any-overlap test at thr == 0 (the
+        reference runs the polygon corner-collision test on the four
+        rectangle corners, which for axis-aligned boxes is exactly
+        rectangle intersection), else IoF (intersection over foreground)
+        > thr to protect pasted foregrounds (`sample_class_v2:944-985`)."""
+        n = len(total_2d)
+        if n == 0:
+            return np.zeros((0, 0), bool)
+        iw = (np.minimum(total_2d[:, None, 2], total_2d[None, :, 2]) -
+              np.maximum(total_2d[:, None, 0], total_2d[None, :, 0]))
+        ih = (np.minimum(total_2d[:, None, 3], total_2d[None, :, 3]) -
+              np.maximum(total_2d[:, None, 1], total_2d[None, :, 1]))
+        inter = np.clip(iw, 0, None) * np.clip(ih, 0, None)
+        if thr == 0:
+            return inter > 0
+        area = ((total_2d[:, 2] - total_2d[:, 0]) *
+                (total_2d[:, 3] - total_2d[:, 1]))
+        iof = inter / np.maximum(area[None, :], 1e-6)   # over the QUERY box
+        return iof > thr
+
     def sample_all(self, gt_bboxes: np.ndarray, gt_labels: np.ndarray,
-                   imgs=None, calib: Optional[dict] = None
+                   imgs=None, calib: Optional[dict] = None,
+                   gt_bboxes_2d: Optional[np.ndarray] = None
                    ) -> Optional[dict]:
         """gt_bboxes (G, >=7) numpy, gt_labels (G,). Returns dict with
         sampled boxes/labels/points (+ pasted imgs) or None."""
         sampled_infos: List[dict] = []
         avoid = gt_bboxes.copy() if len(gt_bboxes) else \
             np.zeros((0, 9), np.float32)
+        avoid_2d = np.asarray(gt_bboxes_2d, np.float32).reshape(-1, 4) \
+            if gt_bboxes_2d is not None else np.zeros((0, 4), np.float32)
+        thr_2d = self._pick_collision_thr() if self.check_2D_collision \
+            else None
         for name, max_num in self.sample_groups.items():
             label = self.cat2label.get(name)
             if label is None:
@@ -124,6 +167,29 @@ class MMDataBaseSamplerV2:
                 [avoid[:, :7], new_boxes[:, :7]], axis=0)
             bev = all_boxes[:, [0, 1, 3, 4, 6]]
             coll = box_collision_test(bev, bev)
+            # 2D-image collision (check_2D_collision,
+            # `sample_class_v2:944-985`): candidates without a stored 2D
+            # box are treated as non-colliding in image space
+            if thr_2d is not None:
+                new_2d = np.stack(
+                    [np.asarray(c.get("bbox", [0, 0, 0, 0]), np.float32)
+                     for c in cands])
+                has_2d = np.asarray(
+                    [c.get("bbox") is not None for c in cands])
+                total_2d = np.concatenate([avoid_2d, new_2d], axis=0)
+                c2d = self._coll_2d(total_2d, thr_2d)
+                pad2 = len(avoid) - len(avoid_2d)
+                if pad2 or len(total_2d) != len(all_boxes):
+                    # align: avoid entries lacking 2D boxes can't collide
+                    full = np.zeros((len(all_boxes),) * 2, bool)
+                    idx = np.r_[np.arange(len(avoid_2d)),
+                                len(avoid) + np.arange(len(new_2d))]
+                    full[np.ix_(idx, idx)] = c2d
+                    c2d = full
+                n_av = len(avoid)
+                c2d[n_av:][~has_2d] = False
+                c2d[:, n_av:][:, ~has_2d] = False
+                coll = coll | c2d
             np.fill_diagonal(coll, False)
             n_avoid = avoid.shape[0]
             keep = []
@@ -143,6 +209,12 @@ class MMDataBaseSamplerV2:
             avoid = np.concatenate(
                 [avoid, np.concatenate([kept_boxes, pad], 1)
                  [:, :avoid.shape[1]]], axis=0)
+            if thr_2d is not None:
+                kept_2d = [np.asarray(cands[i]["bbox"], np.float32)
+                           for i in keep if cands[i].get("bbox") is not None]
+                if kept_2d:
+                    avoid_2d = np.concatenate(
+                        [avoid_2d, np.stack(kept_2d)], axis=0)
             for i in keep:
                 info = copy.deepcopy(cands[i])
                 info["label"] = label
@@ -171,9 +243,11 @@ class MMDataBaseSamplerV2:
                       and i.get("cam_idx") is not None]
         if not with_patch:
             return imgs
-        # paste far objects first so near ones overdraw them
-        with_patch.sort(
-            key=lambda i: -float(np.linalg.norm(i["box3d_lidar"][:2])))
+        # depth_consistent: paste far objects first so near ones overdraw
+        # them (`sample_all:779-785`); without it, db order is kept
+        if self.depth_consistent:
+            with_patch.sort(
+                key=lambda i: -float(np.linalg.norm(i["box3d_lidar"][:2])))
         imgs = [img.copy() if hasattr(img, "copy") else np.array(img)
                 for img in imgs]
         for info in with_patch:
@@ -186,19 +260,33 @@ class MMDataBaseSamplerV2:
             patch = Image.open(patch_path)
             x1, y1, x2, y2 = [int(v) for v in info["bbox"]]
             target = imgs[cam]
-            if isinstance(target, Image.Image):
-                patch = patch.resize((max(x2 - x1, 1), max(y2 - y1, 1)))
-                if self.mixup < 1.0:
-                    region = target.crop((x1, y1, x2, y2))
-                    patch = Image.blend(region, patch, self.mixup)
-                target.paste(patch, (x1, y1))
-            else:
-                parr = np.asarray(patch, target.dtype)
-                h = min(y2, target.shape[0]) - y1
-                w = min(x2, target.shape[1]) - x1
-                if h <= 0 or w <= 0:
-                    continue
-                region = target[y1:y1 + h, x1:x1 + w]
-                target[y1:y1 + h, x1:x1 + w] = \
-                    self.mixup * parr[:h, :w] + (1 - self.mixup) * region
+            was_pil = isinstance(target, Image.Image)
+            tarr = np.array(target) if was_pil else target
+            img_h, img_w = tarr.shape[:2]
+            x1 = max(x1, 0)
+            y1 = max(y1, 0)
+            w = max(min(x2, img_w - 1) - x1 + 1, 1)
+            h = max(min(y2, img_h - 1) - y1 + 1, 1)
+            parr = np.asarray(patch, np.float32)
+            if parr.shape[0] < h or parr.shape[1] < w:
+                parr = np.asarray(
+                    Image.fromarray(np.asarray(patch, np.uint8)).resize(
+                        (w, h)), np.float32)
+            parr = parr[:h, :w, :tarr.shape[-1]]
+            # paste_obj_v2 semantics (`:902-928`): mixup-weighted add
+            # inside a margin mask (5%); blending_type 'gaussian'
+            # feathers the mask edges instead of a hard margin
+            mask = np.zeros((h, w), np.float32)
+            mh, mw = int(0.05 * h), int(0.05 * w)
+            mask[mh:h - mh, mw:w - mw] = 1.0
+            if self.blending_type == "gaussian" and h > 4 and w > 4:
+                yy = np.linspace(-1, 1, h)[:, None]
+                xx = np.linspace(-1, 1, w)[None]
+                mask = np.exp(-((yy ** 4 + xx ** 4) * 3.0)).astype(
+                    np.float32)
+            region = tarr[y1:y1 + h, x1:x1 + w].astype(np.float32)
+            blended = region * (1 - mask[..., None] * self.mixup) + \
+                parr * mask[..., None] * self.mixup
+            tarr[y1:y1 + h, x1:x1 + w] = blended.astype(tarr.dtype)
+            imgs[cam] = Image.fromarray(tarr) if was_pil else tarr
         return imgs

@@ -390,7 +390,8 @@ class ObjectSampleV2:
             return data
         sampled = self.db_sampler.sample_all(
             data["gt_bboxes_3d"].numpy(), data["gt_labels_3d"],
-            imgs=data.get("img"), calib=data)
+            imgs=data.get("img"), calib=data,
+            gt_bboxes_2d=data.get("gt_bboxes"))
         if sampled is None:
             return data
         data["gt_bboxes_3d"] = data["gt_bboxes_3d"].new_box(

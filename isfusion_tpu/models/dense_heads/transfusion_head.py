@@ -351,14 +351,35 @@ class TransFusionHeadV2(nn.Module):
             vel[:, -p:] if vel is not None else
             jnp.zeros(score.shape[:2] + (2,), score.dtype))
 
-        nms_type = dict(self.test_cfg or {}).get("nms_type")
-        if nms_type == "circle":
-            # per-class-group circle NMS (`get_bboxes:1320-1390`)
-            for indices, radius in (((8,), 0.175), ((9,), 0.175)):
-                in_task = jnp.isin(labels, jnp.asarray(indices))
-                keep = jax.vmap(lambda c, s, v: circle_nms_mask(
-                    c, s, radius ** 2, v))(
-                        bboxes[..., :2], scores, mask & in_task)
+        tcfg = dict(self.test_cfg or {})
+        nms_type = tcfg.get("nms_type")
+        if nms_type is not None:
+            # config-driven per-class-task NMS (`get_bboxes:1344-1401`):
+            # each task covers a class-index group with its own radius
+            # (circle NMS) or IoU threshold (rotate NMS); radius <= 0
+            # keeps every box of the group.
+            tasks = tcfg.get("tasks")
+            if tasks is None:
+                # reference defaults for nuScenes (`:1315-1333`)
+                tasks = [dict(indices=list(range(8)), radius=-1),
+                         dict(indices=[8], radius=0.175),
+                         dict(indices=[9], radius=0.175)]
+            for task in tasks:
+                radius = float(task.get("radius", -1))
+                if radius <= 0:
+                    continue
+                in_task = jnp.isin(
+                    labels, jnp.asarray(list(task["indices"])))
+                if nms_type == "circle":
+                    keep = jax.vmap(lambda c, s, v: circle_nms_mask(
+                        c, s, radius ** 2, v))(
+                            bboxes[..., :2], scores, mask & in_task)
+                else:   # rotate NMS on BEV boxes, radius = IoU thresh
+                    from ...ops.box_ops import nms_bev_mask
+                    keep = jax.vmap(lambda b, s, v: nms_bev_mask(
+                        b, s, radius, v))(
+                            bboxes[..., [0, 1, 3, 4, 6]], scores,
+                            mask & in_task)
                 mask = jnp.where(in_task, keep, mask)
                 scores = jnp.where(mask, scores, 0.0)
         return dict(bboxes=bboxes, scores=scores, labels=labels, mask=mask)

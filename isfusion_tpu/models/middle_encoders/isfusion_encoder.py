@@ -211,6 +211,11 @@ class ISFusionEncoder(nn.Module):
     region_shape: Any = ((6, 6, 1), (6, 6, 1))
     grid_size: Any = ((180, 180, 1), (90, 90, 1))
     region_drop_info: Any = None
+    # region_drop_info is VALIDATED, not silently ignored: the dense
+    # window path is exact iff every level's max_tokens covers the full
+    # region (the flagship's 36 = 6*6*1 does; see SURVEY.md §5
+    # long-context note). A config asking for real token-drop (max_tokens
+    # below the region size) would change semantics and is rejected.
     instance_num: int = 200
     nms_kernel_size: int = 3
     img_level: int = 1      # which img FPN level feeds P2G (`forward:1160`)
@@ -304,6 +309,19 @@ class ISFusionEncoder(nn.Module):
         emb = self.embed_dims
         half = emb // 2
         norm2d = dict(type="BN2d")
+
+        if self.region_drop_info is not None:
+            for lvl, (info, shape) in enumerate(
+                    zip(self.region_drop_info, self.region_shape)):
+                full = int(np.prod(shape))
+                toks = [int(d["max_tokens"]) for d in dict(info).values()]
+                if min(toks) < full:
+                    raise ValueError(
+                        f"region_drop_info level {lvl} asks for token drop"
+                        f" (max_tokens {min(toks)} < region {full}); the "
+                        "dense window path is exact only for full regions "
+                        "(the flagship's 36 = 6x6x1). Use the sparse SST "
+                        "input layer for real drops.")
 
         img_bev = self._img_to_bev(
             img_feats[self.img_level], pillars, pillar_coors, pillar_mask,

@@ -100,3 +100,101 @@ def test_object_sample_v2_stop_epoch(tmp_path):
         points=LiDARPoints(np.zeros((10, 5), np.float32), points_dim=5))
     out2 = t(data2)
     assert len(out2["gt_labels_3d"]) == 1
+
+
+def make_db_2d(tmpdir, n=6):
+    """db infos with 2D boxes that ALL overlap heavily in image space."""
+    rng = np.random.default_rng(1)
+    infos = []
+    for i in range(n):
+        pts = rng.normal(scale=0.5, size=(24, 5)).astype(np.float32)
+        fname = f"db2_car_{i}.npy"
+        np.save(os.path.join(tmpdir, fname), pts)
+        box = np.array([15 + 7 * i, -20, -1.5, 1.8, 4.2, 1.6, 0.0, 0, 0],
+                       np.float32)
+        infos.append(dict(name="car", path=fname, box3d_lidar=box,
+                          num_points_in_gt=24, difficulty=0, cam_idx=0,
+                          bbox=[100 + 2 * i, 100, 220 + 2 * i, 200]))
+    path = os.path.join(tmpdir, "dbinfos2.pkl")
+    with open(path, "wb") as f:
+        pickle.dump(dict(car=infos), f)
+    return path
+
+
+def test_2d_collision_rejects_overlapping_patches(tmp_path):
+    info = make_db_2d(str(tmp_path))
+    s = MMDataBaseSamplerV2(
+        info_path=info, data_root=str(tmp_path), rate=1.0,
+        classes=["car"], sample_groups=dict(car=6),
+        check_2D_collision=True, collision_thr=0.3)
+    out = s.sample_all(np.zeros((0, 9), np.float32),
+                       np.zeros((0,), np.int64))
+    # BEV boxes are far apart, but the image patches overlap with
+    # IoF >> 0.3 -> at most one paste survives the 2D check
+    assert out is not None and len(out["gt_labels_3d"]) == 1
+
+    s_off = MMDataBaseSamplerV2(
+        info_path=info, data_root=str(tmp_path), rate=1.0,
+        classes=["car"], sample_groups=dict(car=6),
+        check_2D_collision=False, collision_thr=0.3)
+    out = s_off.sample_all(np.zeros((0, 9), np.float32),
+                           np.zeros((0,), np.int64))
+    assert len(out["gt_labels_3d"]) == 6  # no 2D filtering
+
+
+def test_2d_collision_against_existing_gt(tmp_path):
+    info = make_db_2d(str(tmp_path))
+    s = MMDataBaseSamplerV2(
+        info_path=info, data_root=str(tmp_path), rate=1.0,
+        classes=["car"], sample_groups=dict(car=6),
+        check_2D_collision=True, collision_thr=0.3)
+    # a real GT whose 2D box covers the db patches entirely
+    gt = np.array([[0.0, 20.0, -1.5, 1.8, 4.2, 1.6, 0.0, 0, 0]],
+                  np.float32)
+    out = s.sample_all(gt, np.zeros((1,), np.int64),
+                       gt_bboxes_2d=np.array([[90, 90, 260, 220]],
+                                             np.float32))
+    assert out is None or len(out["gt_labels_3d"]) == 0
+
+
+def test_collision_thr_selection_modes(tmp_path):
+    info = make_db_2d(str(tmp_path))
+    for thr in (0.5, [0.2, 0.5], dict(mode="range", thr_range=(0.1, 0.6)),
+                dict(mode="value", thr_range=[0.3, 0.4])):
+        s = MMDataBaseSamplerV2(
+            info_path=info, data_root=str(tmp_path), rate=1.0,
+            classes=["car"], sample_groups=dict(car=2),
+            check_2D_collision=True, collision_thr=thr)
+        v = s._pick_collision_thr()
+        assert 0.0 < v <= 0.7
+
+
+def test_paste_margin_mask_blending(tmp_path):
+    """paste_obj_v2 parity: the 5% margin ring keeps the original pixels,
+    the interior is mixup-blended."""
+    from PIL import Image
+    info = make_db_2d(str(tmp_path), n=1)
+    # write a white 120x100 patch next to the points file
+    patch = np.full((100, 120, 3), 255, np.uint8)
+    Image.fromarray(patch).save(os.path.join(str(tmp_path),
+                                             "db2_car_0.png"))
+    with open(info, "rb") as f:
+        db = pickle.load(f)
+    db["car"][0]["image_path"] = "db2_car_0.png"
+    with open(info, "wb") as f:
+        pickle.dump(db, f)
+    s = MMDataBaseSamplerV2(
+        info_path=info, data_root=str(tmp_path), rate=1.0,
+        classes=["car"], sample_groups=dict(car=1),
+        check_2D_collision=True, collision_thr=0.0, mixup=0.7)
+    imgs = [np.zeros((300, 400, 3), np.uint8)]
+    out = s.sample_all(np.zeros((0, 9), np.float32),
+                       np.zeros((0,), np.int64), imgs=imgs)
+    img = np.asarray(out["imgs"][0])
+    x1, y1, x2, y2 = db["car"][0]["bbox"]
+    # interior blended to mixup * 255
+    assert abs(int(img[150, 160, 0]) - int(0.7 * 255)) <= 2
+    # margin ring (first rows/cols of the box) untouched
+    assert img[y1 + 1, x1 + 1, 0] == 0
+    # outside untouched
+    assert img[50, 50, 0] == 0

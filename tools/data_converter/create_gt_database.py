@@ -45,6 +45,7 @@ def create_groundtruth_database(dataset, info_path: Optional[str] = None,
             uv, depth, front = project_points_to_cameras(centers, l2i)
             uv, depth, front = (np.asarray(uv), np.asarray(depth),
                                 np.asarray(front))
+        cam_imgs = {}
         for gi in range(len(boxes)):
             obj_pts = pts[inside[:, gi]].copy()
             obj_pts[:, :3] -= boxes[gi, :3]
@@ -67,6 +68,31 @@ def create_groundtruth_database(dataset, info_path: Optional[str] = None,
                     half = 40.0 / max(depth[cam, gi], 1.0) * 20
                     info["bbox"] = [float(u - half), float(v - half),
                                     float(u + half), float(v + half)]
+                    # crop + store the image patch for copy-paste
+                    # (`create_gt_database.py:133` stores per-object
+                    # patches the sampler pastes back)
+                    if with_image_patches and \
+                            "img_filename" in input_dict:
+                        try:
+                            from PIL import Image
+                            path = input_dict["img_filename"][cam]
+                            if cam not in cam_imgs and \
+                                    os.path.exists(path):
+                                cam_imgs[cam] = Image.open(path)
+                            if cam in cam_imgs:
+                                im = cam_imgs[cam]
+                                x1 = int(max(info["bbox"][0], 0))
+                                y1 = int(max(info["bbox"][1], 0))
+                                x2 = int(min(info["bbox"][2], im.size[0]))
+                                y2 = int(min(info["bbox"][3], im.size[1]))
+                                if x2 > x1 and y2 > y1:
+                                    pf = fname.replace(".npy", ".png")
+                                    im.crop((x1, y1, x2, y2)).save(
+                                        os.path.join(db_dir, pf))
+                                    info["image_path"] = os.path.join(
+                                        "gt_database", pf)
+                        except Exception:
+                            pass
             db_infos.setdefault(name, []).append(info)
     save = db_info_save_path or os.path.join(
         root, "nuscenes_dbinfos_train.pkl")

@@ -22,6 +22,8 @@ def parse_args():
                    help="single-device even with multiple chips")
     p.add_argument("--cfg-options", nargs="+", default=[],
                    help="key=value overrides with dotted keys")
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="capture a jax.profiler trace of steps 3-8 to DIR")
     return p.parse_args()
 
 
@@ -52,6 +54,8 @@ def main():
             opts[k] = v
         cfg.merge_from_dict(opts)
     cfg.seed = args.seed
+    if args.profile:
+        cfg.profile_dir = args.profile
     set_random_seed(args.seed, deterministic=args.deterministic)
 
     work_dir = args.work_dir or os.path.join(
