@@ -1,0 +1,136 @@
+"""Sparse-token SST: window math golden values, drop semantics, roundtrip
+and permutation invariance (reference: sst_input_layer_v2.py /
+sst_ops.py; the dense path in models/sst/sst.py is NOT an oracle here
+because it attends over empty cells too)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from isfusion_tpu.models.sst.sst_sparse import (
+    SSTv2Sparse, bucketize_shift, get_window_coors, window2flat)
+
+SPARSE_SHAPE = (24, 18, 1)   # (x, y, z)
+WS = (6, 6, 1)
+
+
+def test_get_window_coors_golden():
+    coords = jnp.asarray([[0, 0, 0], [0, 0, 5], [0, 0, 6], [0, 5, 7],
+                          [0, 17, 23]], jnp.int32)  # zyx
+    win, inner = get_window_coors(coords, SPARSE_SHAPE, WS, do_shift=False)
+    win, inner = np.asarray(win), np.asarray(inner)
+    # no-shift offsets by a full window: voxel (y=0,x=0) -> win coords
+    # (x//6+1? shift=ws): shifted x = 0+6 -> wx=1; y likewise
+    nwx, nwy, nwz = 5, 4, 2  # ceil(24/6)+1, ceil(18/6)+1, ceil(1/1)+1
+    assert win[0] == 1 * (nwy * nwz) + 1 * nwz + 0
+    assert (inner[0] == [0, 0, 0]).all()
+    assert win[1] == win[0]          # x=5 same window
+    assert (inner[1] == [0, 0, 5]).all()
+    assert win[2] == 2 * (nwy * nwz) + 1 * nwz  # x=6 next window
+    assert (inner[2] == [0, 0, 0]).all()
+    assert win[3] == win[2]          # y=5 x=7 same window as (6..11, 0..5)
+    assert (inner[3] == [0, 5, 1]).all()
+    # shifted variant moves the grid by ws//2
+    win_s, inner_s = np.asarray(get_window_coors(
+        coords, SPARSE_SHAPE, WS, do_shift=True)[0]), None
+    assert win_s[1] != win_s[2] or True  # x=5,6 now share the 3..8 window
+    w5 = (5 + 3) // 6
+    w6 = (6 + 3) // 6
+    assert (w5 == w6) == (win_s[1] == win_s[2])
+
+
+def rand_sparse(v_cap=64, n=40, c=16, seed=0):
+    rng = np.random.default_rng(seed)
+    lin = rng.choice(SPARSE_SHAPE[0] * SPARSE_SHAPE[1], n, replace=False)
+    coords = np.zeros((v_cap, 3), np.int32)
+    coords[:n, 1] = lin // SPARSE_SHAPE[0]
+    coords[:n, 2] = lin % SPARSE_SHAPE[0]
+    mask = np.arange(v_cap) < n
+    feats = rng.normal(size=(v_cap, c)).astype(np.float32)
+    feats[~mask] = 0
+    return jnp.asarray(feats), jnp.asarray(coords), jnp.asarray(mask)
+
+
+DROP = ({"max_tokens": 4, "drop_range": (0, 5)},
+        {"max_tokens": 16, "drop_range": (5, 10000)})
+
+
+def test_bucketize_drop_semantics():
+    feats, coords, mask = rand_sparse()
+    part = bucketize_shift(feats, coords, mask, SPARSE_SHAPE, WS, DROP,
+                           win_caps=(32, 32), do_shift=False)
+    win, _ = get_window_coors(coords, SPARSE_SHAPE, WS, False)
+    win = np.asarray(win)
+    level = np.asarray(part["level"])
+    keep = np.asarray(part["keep"])
+    m = np.asarray(mask)
+    counts = {}
+    for i in np.nonzero(m)[0]:
+        counts[win[i]] = counts.get(win[i], 0) + 1
+    for i in np.nonzero(m)[0]:
+        expect_level = 0 if counts[win[i]] < 5 else 1
+        assert level[i] == expect_level
+    # per window, kept tokens == min(count, max_tokens of its level)
+    for w, cnt in counts.items():
+        kept = sum(1 for i in np.nonzero(m)[0] if win[i] == w and keep[i])
+        cap = 4 if cnt < 5 else 16
+        assert kept == min(cnt, cap)
+
+
+def test_flat2window_window2flat_roundtrip():
+    feats, coords, mask = rand_sparse(seed=3)
+    part = bucketize_shift(feats, coords, mask, SPARSE_SHAPE, WS, DROP,
+                           win_caps=(32, 32), do_shift=True)
+    # identity "attention": gather straight back
+    updated = [b["tokens"] for b in part["buckets"]]
+    out = window2flat(part, updated, feats)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(feats),
+                               atol=0)
+    # bucket tokens hold exactly the kept tokens' features
+    total_tokens = sum(int(b["tok_valid"].sum())
+                       for b in part["buckets"])
+    assert total_tokens == int(part["keep"].sum())
+
+
+def test_sstv2sparse_forward_and_permutation_invariance():
+    c = 32
+    feats, coords, mask = rand_sparse(c=c, seed=5)
+    model = SSTv2Sparse(
+        d_model=c, nhead=4, num_blocks=1, dim_feedforward=64,
+        window_shape=WS, sparse_shape=SPARSE_SHAPE,
+        drop_info=({"max_tokens": 36, "drop_range": (0, 10000)},),
+        win_caps=(64,))
+    vars_ = model.init(jax.random.PRNGKey(0), feats[None], coords[None],
+                       mask[None])
+    out = model.apply(vars_, feats[None], coords[None], mask[None])
+    assert out.shape == (1, SPARSE_SHAPE[1], SPARSE_SHAPE[0], c)
+    assert np.isfinite(np.asarray(out)).all()
+
+    # permuting the voxel order must not change the BEV (no window
+    # overflows with max_tokens=36)
+    perm = np.random.default_rng(1).permutation(feats.shape[0])
+    out2 = model.apply(vars_, feats[perm][None], coords[perm][None],
+                       mask[perm][None])
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out2),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_sstv2sparse_grads():
+    c = 16
+    feats, coords, mask = rand_sparse(c=c, seed=7)
+    model = SSTv2Sparse(d_model=c, nhead=2, num_blocks=1,
+                        dim_feedforward=32, window_shape=WS,
+                        sparse_shape=SPARSE_SHAPE, drop_info=DROP,
+                        win_caps=(32, 32))
+    vars_ = model.init(jax.random.PRNGKey(0), feats[None], coords[None],
+                       mask[None])
+
+    def loss(p):
+        out = model.apply({"params": p}, feats[None], coords[None],
+                          mask[None])
+        return jnp.sum(out ** 2)
+
+    g = jax.grad(loss)(vars_["params"])
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(np.isfinite(np.asarray(x)).all() for x in leaves)
+    assert sum(float(jnp.abs(x).sum()) for x in leaves) > 0
