@@ -245,3 +245,145 @@ class CenterPointBBoxCoder:
                 jnp.all(bboxes[:, :3] <= pcr[3:], -1)
         return dict(bboxes=bboxes, scores=jnp.where(mask, topv, 0.0),
                     labels=labels, mask=mask)
+
+
+@BBOX_CODERS.register_module()
+class AnchorFreeBBoxCoder(PartialBinBasedBBoxCoder):
+    """SSD3D's anchor-free coder (`anchor_free_bbox_coder.py:9`): size as
+    direct half-extent offsets (decoded as 2*size, clamped), direction as
+    bin + residual normalized by the bin width."""
+
+    def __init__(self, num_dir_bins: int, with_rot: bool = True):
+        super().__init__(num_dir_bins, 0, [], with_rot=with_rot)
+
+    def encode(self, gt_gravity_center, gt_dims, gt_yaw, gt_labels):
+        size_res_target = gt_dims / 2
+        if self.with_rot:
+            dir_cls, dir_res = self.angle2class(gt_yaw)
+            dir_res = dir_res / (2 * jnp.pi / self.num_dir_bins)
+        else:
+            dir_cls = jnp.zeros_like(gt_labels)
+            dir_res = jnp.zeros_like(gt_yaw)
+        return gt_gravity_center, size_res_target, dir_cls, dir_res
+
+    def decode(self, center, dir_class_logits, dir_res_norm, size):
+        """center (..., P, 3), dir_class (..., P, nbins), dir_res_norm
+        likewise (normalized residuals), size (..., P, 3)."""
+        if self.with_rot:
+            dir_cls = jnp.argmax(dir_class_logits, -1)
+            res = jnp.take_along_axis(
+                dir_res_norm * (2 * jnp.pi / self.num_dir_bins),
+                dir_cls[..., None], -1)[..., 0]
+            yaw = self.class2angle(dir_cls, res)
+        else:
+            yaw = jnp.zeros(center.shape[:-1], center.dtype)
+        dims = jnp.clip(size * 2, 0.1, None)
+        return jnp.concatenate([center, dims, yaw[..., None]], -1)
+
+
+@BBOX_CODERS.register_module()
+class GroupFree3DBBoxCoder(PartialBinBasedBBoxCoder):
+    """GroupFree3D coder (`groupfree3d_bbox_coder.py:9`): partial-bin
+    direction + either class-agnostic size (direct) or class-cluster
+    size residuals."""
+
+    def __init__(self, num_dir_bins: int, num_sizes: int, mean_sizes,
+                 with_rot: bool = True, size_cls_agnostic: bool = True):
+        super().__init__(num_dir_bins, num_sizes, mean_sizes,
+                         with_rot=with_rot)
+        self.size_cls_agnostic = bool(size_cls_agnostic)
+
+    def encode(self, gt_gravity_center, gt_dims, gt_yaw, gt_labels):
+        base = super().encode(gt_gravity_center, gt_dims, gt_yaw,
+                              gt_labels)
+        center, size_cls, size_res, dir_cls, dir_res = base
+        dir_res = dir_res / (2 * jnp.pi / self.num_dir_bins)
+        size_target = gt_dims  # class-agnostic target (`encode:58-76`)
+        return (center, size_target, size_cls, size_res, dir_cls, dir_res)
+
+    def decode(self, bbox_out, prefix: str = ""):
+        center = bbox_out[f"{prefix}center"]
+        if self.with_rot:
+            dir_cls = jnp.argmax(bbox_out[f"{prefix}dir_class"], -1)
+            res = jnp.take_along_axis(
+                bbox_out[f"{prefix}dir_res"], dir_cls[..., None],
+                -1)[..., 0]
+            yaw = self.class2angle(dir_cls, res)
+        else:
+            yaw = jnp.zeros(center.shape[:-1], center.dtype)
+        if self.size_cls_agnostic:
+            dims = bbox_out[f"{prefix}size"]
+        else:
+            size_cls = jnp.argmax(bbox_out[f"{prefix}size_class"], -1)
+            res = jnp.take_along_axis(
+                bbox_out[f"{prefix}size_res"],
+                size_cls[..., None, None].repeat(3, -1), -2)[..., 0, :]
+            dims = self.mean_sizes[size_cls] + res
+        return jnp.concatenate([center, dims, yaw[..., None]], -1)
+
+
+@BBOX_CODERS.register_module()
+class NMSFreeCoder:
+    """DETR-style top-k decode (`nms_free_coder.py:10`): flat top-k over
+    (query, class) sigmoid scores, denormalized boxes, post-center-range
+    and score filters — NMS-free."""
+
+    def __init__(self, pc_range, voxel_size=None, post_center_range=None,
+                 max_num: int = 100, score_threshold=None,
+                 num_classes: int = 10):
+        self.pc_range = pc_range
+        self.post_center_range = post_center_range
+        self.max_num = int(max_num)
+        self.score_threshold = score_threshold
+        self.num_classes = int(num_classes)
+
+    def decode_single(self, cls_scores: jnp.ndarray,
+                      bbox_preds: jnp.ndarray) -> dict:
+        """cls_scores (Q, num_classes) logits; bbox_preds (Q, >=8) in the
+        normalized (cx, cy, w, l, cz, h, sin, cos[, vx, vy]) format."""
+        scores = jax.nn.sigmoid(cls_scores).reshape(-1)
+        k = min(self.max_num, scores.shape[0])
+        topv, topi = jax.lax.top_k(scores, k)
+        labels = topi % self.num_classes
+        bidx = topi // self.num_classes
+        bp = bbox_preds[bidx]
+        cx = bp[:, 0] * (self.pc_range[3] - self.pc_range[0]) + \
+            self.pc_range[0]
+        cy = bp[:, 1] * (self.pc_range[4] - self.pc_range[1]) + \
+            self.pc_range[1]
+        cz = bp[:, 4] * (self.pc_range[5] - self.pc_range[2]) + \
+            self.pc_range[2]
+        w = jnp.exp(bp[:, 2])
+        l = jnp.exp(bp[:, 3])
+        h = jnp.exp(bp[:, 5])
+        yaw = jnp.arctan2(bp[:, 6], bp[:, 7])
+        cols = [cx[:, None], cy[:, None], cz[:, None], w[:, None],
+                l[:, None], h[:, None], yaw[:, None]]
+        if bp.shape[-1] > 8:
+            cols.append(bp[:, 8:10])
+        boxes = jnp.concatenate(cols, -1)
+        mask = jnp.ones((k,), bool)
+        if self.score_threshold is not None:
+            mask &= topv > self.score_threshold
+        if self.post_center_range is not None:
+            pcr = jnp.asarray(self.post_center_range)
+            mask &= jnp.all(boxes[:, :3] >= pcr[:3], -1) & \
+                jnp.all(boxes[:, :3] <= pcr[3:], -1)
+        return dict(bboxes=boxes, scores=jnp.where(mask, topv, 0.0),
+                    labels=labels, mask=mask)
+
+
+@BBOX_CODERS.register_module()
+class MultiTaskBBoxCoder:
+    """Per-task delegating coder (`multi_task_bbox_coder.py`): routes
+    encode/decode through a DeltaXYZWLHRBBoxCoder per task group."""
+
+    def __init__(self, code_size: int = 7, **kwargs):
+        self.inner = DeltaXYZWLHRBBoxCoder(code_size=code_size)
+        self.code_size = code_size
+
+    def encode(self, anchors, gt):
+        return self.inner.encode(anchors, gt)
+
+    def decode(self, anchors, deltas):
+        return self.inner.decode(anchors, deltas)

@@ -104,6 +104,7 @@ PIPELINES = Registry("pipelines")
 OBJECT_SAMPLERS = Registry("object_samplers")
 
 BBOX_CODERS = Registry("bbox_coders")
+BBOX_SAMPLERS = Registry("bbox_samplers")
 BBOX_ASSIGNERS = Registry("bbox_assigners")
 MATCH_COSTS = Registry("match_costs")
 IOU_CALCULATORS = Registry("iou_calculators")
