@@ -52,6 +52,8 @@ class PointSAModule(nn.Module):
     use_xyz: bool = True
     pool_mod: str = "max"
     normalize_xyz: bool = False
+    sa_type: str = "mlp"       # 'paconv' swaps the shared MLP for PAConv
+    num_kernels: int = 8       # PAConv weight-bank size
 
     @nn.compact
     def __call__(self, xyz, feats, mask, train: bool = False):
@@ -77,8 +79,15 @@ class PointSAModule(nn.Module):
                 parts.append(jax.vmap(group_points)(feats, gi))
             g = jnp.concatenate(parts, -1)                 # (B, S, K, C)
             valid = gv & new_mask[:, :, None]
-            g = _SharedMLP(tuple(channels),
-                           name=f"mlp{scale}")(g, valid, train=train)
+            if self.sa_type == "paconv":
+                from ...ops.paconv import PAConv
+                for li, ch in enumerate(channels):
+                    g = PAConv(int(ch), num_kernels=self.num_kernels,
+                               name=f"paconv{scale}_{li}")(
+                        g, grouped_xyz, valid, train=train)
+            else:
+                g = _SharedMLP(tuple(channels),
+                               name=f"mlp{scale}")(g, valid, train=train)
             if self.pool_mod == "max":
                 g = jnp.max(jnp.where(valid[..., None], g, -jnp.inf), 2)
                 g = jnp.where(jnp.isfinite(g), g, 0.0)
@@ -142,6 +151,9 @@ class PointNet2SASSG(nn.Module):
                 mlp_channels=list(self.sa_channels[i]),
                 use_xyz=bool(sa_cfg.get("use_xyz", True)),
                 pool_mod=sa_cfg.get("pool_mod", "max"),
+                sa_type="paconv" if "PAConv" in str(
+                    sa_cfg.get("type", "")) else "mlp",
+                num_kernels=int(sa_cfg.get("num_kernels", 8)),
                 normalize_xyz=bool(sa_cfg.get("normalize_xyz", False)),
                 name=f"sa{i}")(sa_xyz[-1], sa_feats[-1], sa_masks[-1],
                                train=train)
@@ -171,3 +183,11 @@ class PointNet2SASSG(nn.Module):
         return dict(sa_xyz=sa_xyz, sa_features=sa_feats, sa_masks=sa_masks,
                     fp_xyz=fp_xyz, fp_features=fp_feats, fp_masks=fp_masks,
                     fp_indices=fp_indices)
+
+
+@BACKBONES.register_module()
+def PAConvSASSG(**kwargs):
+    """PointNet2 SSG with PAConv set-abstraction layers (the reference's
+    `sa_cfg=dict(type='PAConvSAModule')` composition for scene seg)."""
+    kwargs.setdefault("sa_cfg", dict(type="PAConvSAModule"))
+    return PointNet2SASSG(**kwargs)

@@ -59,3 +59,13 @@ class PointNet2Head(nn.Module):
         w = mask.astype(jnp.float32)
         return dict(loss_sem_seg=jnp.sum(loss * w) /
                     jnp.maximum(w.sum(), 1.0))
+
+
+@HEADS.register_module()
+class PAConvHead(PointNet2Head):
+    """PAConv decoder head (`mmdet3d/models/decode_heads/paconv_head.py`):
+    PointNet2 FP pyramid plus a pre-seg 1x1 conv before the classifier."""
+
+    fp_channels: Any = ((768, 256, 256), (384, 256, 256),
+                        (320, 256, 128), (128 + 6, 128, 128, 128))
+    with_pre_seg_conv: bool = True
