@@ -71,14 +71,14 @@ def build_isfusion_flagship(tiny: bool = False):
         # graph takes >40 min to compile on the CPU backend the driver's
         # mesh dryrun uses
         model_cfg["img_backbone"] = dict(
-            model_cfg["img_backbone"], depths=[1, 1, 2, 1],
+            model_cfg["img_backbone"], depths=[1, 1, 1, 1],
             with_cp=False)
         model_cfg["pts_middle_encoder"] = dict(
             model_cfg["pts_middle_encoder"],
             encoder_channels=((32, 64), (64, 128), (128, 256), (256,)),
             encoder_paddings=((0, 1), (0, 1), (0, [0, 1, 1]), (0,)))
         model_cfg["pts_backbone"] = dict(
-            model_cfg["pts_backbone"], layer_nums=[2, 2])
+            model_cfg["pts_backbone"], layer_nums=[1, 1])
         batch_fn = lambda b: synthetic_multimodal_batch(  # noqa: E731
             b, num_points=8192, num_views=2, img_hw=(128, 352), num_gt=16)
     else:

@@ -5,3 +5,4 @@ from .fcos_mono3d_head import FCOSMono3DHead  # noqa: F401
 from .vote_head import VoteHead  # noqa: F401
 from .ssd_3d_head import SSD3DHead  # noqa: F401
 from .free_anchor3d_head import FreeAnchor3DHead  # noqa: F401
+from .shape_aware_head import ShapeAwareHead  # noqa: F401

@@ -20,6 +20,8 @@ def parse_args():
     p.add_argument("--format-only", action="store_true")
     p.add_argument("--out", default=None, help="metrics json output path")
     p.add_argument("--jsonfile-prefix", default="results")
+    p.add_argument("--cfg-options", nargs="+", default=[],
+                   help="key=value overrides with dotted keys")
     return p.parse_args()
 
 
@@ -35,6 +37,17 @@ def main():
     from isfusion_tpu.parallel.train_step import TrainState
 
     cfg = Config.fromfile(args.config)
+    if args.cfg_options:
+        import ast
+        opts = {}
+        for kv in args.cfg_options:
+            k, v = kv.split("=", 1)
+            try:
+                v = ast.literal_eval(v)
+            except (ValueError, SyntaxError):
+                pass
+            opts[k] = v
+        cfg.merge_from_dict(opts)
     model = build_detector(dict(cfg.model))
     dataset = build_dataset(cfg.data["val" if "val" in cfg.data else "test"])
     loader = build_dataloader(
