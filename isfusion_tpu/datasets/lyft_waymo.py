@@ -12,6 +12,7 @@ from typing import List
 import numpy as np
 
 from ..registry import DATASETS
+from .custom_3d import Custom3DDataset
 from .kitti_dataset import KittiDataset
 from .nuscenes_dataset import NuScenesDataset
 
@@ -44,3 +45,55 @@ class WaymoDataset(KittiDataset):
     def load_annotations(self, ann_file: str):
         infos = super().load_annotations(ann_file)
         return infos[::self.load_interval]
+
+
+@DATASETS.register_module()
+class SemanticKITTIDataset(Custom3DDataset):
+    """SemanticKITTI point-cloud segmentation dataset
+    (`mmdet3d/datasets/semantickitti_dataset.py:9`): info pkls point at
+    velodyne .bin scans + per-point .label files; evaluation is
+    confusion-matrix mIoU (`core/evaluation/seg_eval.py`)."""
+
+    CLASSES = ('unlabeled', 'car', 'bicycle', 'motorcycle', 'truck', 'bus',
+               'person', 'bicyclist', 'motorcyclist', 'road', 'parking',
+               'sidewalk', 'other-ground', 'building', 'fence',
+               'vegetation', 'trunck', 'terrian', 'pole', 'traffic-sign')
+
+    def __init__(self, data_root, ann_file, pipeline=None, classes=None,
+                 modality=None, box_type_3d="LiDAR",
+                 filter_empty_gt=False, test_mode=False, **kwargs):
+        super().__init__(data_root=data_root, ann_file=ann_file,
+                         pipeline=pipeline, classes=classes,
+                         modality=modality, box_type_3d=box_type_3d,
+                         filter_empty_gt=filter_empty_gt,
+                         test_mode=test_mode, **kwargs)
+
+    def get_data_info(self, index: int) -> dict:
+        info = self.data_infos[index]
+        input_dict = dict(
+            sample_idx=info.get("sample_idx", index),
+            pts_filename=info["lidar_path"],
+        )
+        if not self.test_mode:
+            input_dict["ann_info"] = dict(
+                pts_semantic_mask_path=info.get("pts_semantic_mask_path"))
+        return input_dict
+
+    def evaluate(self, results, metric=None, **kwargs) -> dict:
+        """results: per-sample dicts with 'semantic_mask' predictions;
+        GT loaded from each info's pts_semantic_mask_path (.label or
+        .npy)."""
+        from ..core.evaluation.seg_eval import seg_eval
+        gts, preds = [], []
+        for idx, res in enumerate(results):
+            path = self.data_infos[idx].get("pts_semantic_mask_path")
+            if path and path.endswith(".npy"):
+                gt = np.load(path)
+            elif path:
+                gt = np.fromfile(path, dtype=np.uint32) & 0xFFFF
+            else:
+                continue
+            gts.append(gt.astype(np.int64))
+            preds.append(np.asarray(res["semantic_mask"]))
+        label2cat = {i: c for i, c in enumerate(self.CLASSES)}
+        return seg_eval(gts, preds, label2cat, ignore_index=0)

@@ -29,7 +29,7 @@ def nuscenes_data_prep(root_path: str, info_prefix: str, version: str,
 
 def main():
     p = argparse.ArgumentParser(description="Data converter")
-    p.add_argument("dataset", choices=["nuscenes"])
+    p.add_argument("dataset", choices=["nuscenes", "kitti", "waymo", "lyft"])
     p.add_argument("--root-path", default="data/nuscenes")
     p.add_argument("--version", default="v1.0-trainval")
     p.add_argument("--extra-tag", default="nuscenes")
@@ -37,9 +37,19 @@ def main():
     p.add_argument("--no-gt-database", action="store_true")
     args = p.parse_args()
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    nuscenes_data_prep(args.root_path, args.extra_tag, args.version,
-                       args.max_sweeps,
-                       with_gt_database=not args.no_gt_database)
+    if args.dataset == "nuscenes":
+        nuscenes_data_prep(args.root_path, args.extra_tag, args.version,
+                           args.max_sweeps,
+                           with_gt_database=not args.no_gt_database)
+    elif args.dataset == "kitti":
+        from data_converter.kitti_converter import create_kitti_info_file
+        create_kitti_info_file(args.root_path, args.extra_tag)
+    elif args.dataset == "waymo":
+        from data_converter.waymo_converter import create_waymo_infos
+        create_waymo_infos(args.root_path, args.extra_tag)
+    elif args.dataset == "lyft":
+        from data_converter.lyft_converter import create_lyft_infos
+        create_lyft_infos(args.root_path, args.extra_tag, args.version)
 
 
 if __name__ == "__main__":
