@@ -146,7 +146,7 @@ def train_model(model, dataset, cfg, work_dir: str = "work_dir",
         if eval_interval and (epoch + 1) % eval_interval == 0 and \
                 "data" in cfg and "val" in cfg.data:
             try:
-                from ..datasets import build_dataset, build_dataloader
+                from ..datasets import build_dataset
                 from .test import single_device_test
                 val_ds = build_dataset(cfg.data["val"])
                 val_loader = build_dataloader(

@@ -51,3 +51,45 @@ def show_result(points: Optional[np.ndarray],
     if pred_bboxes is not None and len(pred_bboxes):
         _write_boxes_obj(os.path.join(result_dir, f"{filename}_pred.obj"),
                          np.asarray(pred_bboxes))
+
+
+def draw_bev_png(points: Optional[np.ndarray], gt_boxes: Optional[np.ndarray],
+                 pred_boxes: Optional[np.ndarray], out_file: str,
+                 pc_range=(-54, -54, 54, 54), size: int = 900) -> str:
+    """Rasterize a BEV view: points (grey), GT boxes (green), predictions
+    (red) — the projection imagery part of the reference's
+    `core/visualizer/show_result.py` without an open3d dependency."""
+    from PIL import Image, ImageDraw
+    img = Image.new("RGB", (size, size), (16, 16, 20))
+    draw = ImageDraw.Draw(img)
+    x0, y0, x1, y1 = pc_range
+
+    def to_px(xy):
+        px = (xy[..., 0] - x0) / (x1 - x0) * (size - 1)
+        py = (1 - (xy[..., 1] - y0) / (y1 - y0)) * (size - 1)
+        return np.stack([px, py], -1)
+
+    if points is not None and len(points):
+        pts = np.asarray(points)
+        keep = ((pts[:, 0] > x0) & (pts[:, 0] < x1) &
+                (pts[:, 1] > y0) & (pts[:, 1] < y1))
+        for px, py in to_px(pts[keep][:, :2])[::max(
+                1, keep.sum() // 60000)]:
+            img.putpixel((int(px), int(py)), (120, 120, 130))
+
+    def corners_bev(box):
+        cx, cy, dx, dy, yaw = box[0], box[1], box[3], box[4], box[6]
+        c, s = np.cos(yaw), np.sin(yaw)
+        local = np.array([[dx, dy], [dx, -dy], [-dx, -dy], [-dx, dy]]) / 2
+        rot = local @ np.array([[c, s], [-s, c]])
+        return rot + np.array([cx, cy])
+
+    for boxes, color in ((gt_boxes, (60, 220, 90)),
+                         (pred_boxes, (240, 80, 70))):
+        if boxes is None:
+            continue
+        for b in np.asarray(boxes):
+            pix = to_px(corners_bev(b))
+            draw.polygon([tuple(p) for p in pix], outline=color)
+    img.save(out_file)
+    return out_file
