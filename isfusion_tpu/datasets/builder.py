@@ -104,7 +104,12 @@ class DataLoader:
 def build_dataloader(dataset, samples_per_gpu: int, workers_per_gpu: int = 4,
                      num_gpus: int = 1, dist: bool = False, shuffle=True,
                      seed: Optional[int] = None, shard_id: int = 0,
-                     num_shards: int = 1, **kwargs) -> DataLoader:
+                     num_shards: int = 1, drop_last: Optional[bool] = None,
+                     **kwargs) -> DataLoader:
+    if drop_last is None:
+        # evaluation must see every sample; training keeps static shapes
+        drop_last = bool(shuffle)
     return DataLoader(dataset, batch_size=samples_per_gpu, shuffle=shuffle,
                       num_workers=workers_per_gpu, seed=seed or 0,
-                      shard_id=shard_id, num_shards=num_shards)
+                      shard_id=shard_id, num_shards=num_shards,
+                      drop_last=drop_last)

@@ -160,3 +160,19 @@ def test_internal_eval_ranks_noise_below_perfect(dataset):
             labels=ann["gt_labels_3d"], mask=np.ones(len(b), bool)))
     m_noisy = dataset.evaluate(noisy)
     assert 0.0 < m_noisy["mAP"] < 1.0
+
+
+def test_eval_loader_keeps_partial_batches(tmp_path):
+    """Regression: batch > len(dataset) with drop_last silently produced
+    ZERO eval batches (metrics over empty results)."""
+    ann = make_fixture(str(tmp_path), num_samples=2)
+    ds = NuScenesDataset(ann_file=ann, pipeline=train_pipeline(),
+                         classes=CLASSES, data_root=str(tmp_path),
+                         test_mode=False, filter_empty_gt=False)
+    from isfusion_tpu.datasets import build_dataloader
+    loader = build_dataloader(ds, samples_per_gpu=4, shuffle=False)
+    batches = list(loader)
+    assert sum(b["points"].shape[0] for b in batches) == 2
+    # training loaders still drop ragged tails for static shapes
+    tr = build_dataloader(ds, samples_per_gpu=4, shuffle=True)
+    assert len(tr) == 0

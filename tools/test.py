@@ -49,10 +49,11 @@ def main():
             opts[k] = v
         cfg.merge_from_dict(opts)
     model = build_detector(dict(cfg.model))
-    dataset = build_dataset(cfg.data["val" if "val" in cfg.data else "test"])
+    dataset = build_dataset(cfg.data["test" if "test" in cfg.data
+                                     else "val"])
     loader = build_dataloader(
         dataset, samples_per_gpu=int(cfg.data.get("samples_per_gpu", 1)),
-        shuffle=False)
+        shuffle=False, drop_last=False)
 
     import optax
     if args.checkpoint:
