@@ -24,7 +24,16 @@ def build_dataset(cfg):
 
 def collate_batch(samples: list) -> dict:
     """Stack per-sample dicts of numpy arrays; 'img_metas' collected as a
-    list (host-only)."""
+    list (host-only). Single-variant TTA lists (MultiScaleFlipAug3D with
+    flip=False) are unwrapped; multi-variant TTA batches go through the
+    aug-test path, not this collate."""
+    if samples and isinstance(samples[0], list):
+        if any(len(s) != 1 for s in samples):
+            raise NotImplementedError(
+                "multi-variant TTA samples cannot be stacked into one "
+                "batch; run per-variant inference + "
+                "core.post_processing.merge_aug_bboxes_3d")
+        samples = [s[0] for s in samples]
     out = {}
     for k in samples[0]:
         if k == "img_metas":
@@ -89,7 +98,9 @@ class DataLoader:
             try:
                 for b in batches:
                     q.put(collate_batch([self.dataset[int(i)] for i in b]))
-            finally:
+            except BaseException as e:   # propagate to the consumer —
+                q.put(e)                 # a swallowed error looks like an
+            finally:                     # empty dataset
                 q.put(stop)
 
         t = threading.Thread(target=worker, daemon=True)
@@ -98,6 +109,8 @@ class DataLoader:
             item = q.get()
             if item is stop:
                 break
+            if isinstance(item, BaseException):
+                raise item
             yield item
 
 
