@@ -1,9 +1,9 @@
 """Lyft and Waymo datasets.
 
 Parity: `mmdet3d/datasets/lyft_dataset.py` (nuScenes-style info pkls,
-9-class taxonomy, Lyft mAP protocol approximated by the same
-center-distance evaluator) and `waymo_dataset.py` (KITTI-format infos —
-subclass of KittiDataset with Waymo classes and 5-view layout).
+9-class taxonomy, official Lyft IoU-threshold mAP protocol via
+`core/evaluation/lyft_eval.py`) and `waymo_dataset.py` (KITTI-format
+infos — subclass of KittiDataset with Waymo classes and 5-view layout).
 """
 from __future__ import annotations
 
@@ -29,9 +29,23 @@ class LyftDataset(NuScenesDataset):
         super().__init__(*args, with_velocity=with_velocity, **kwargs)
 
     def evaluate(self, results: List[dict], metric="bbox", **kwargs):
-        # Lyft's official metric is mAP over IoU thresholds; the shared
-        # center-distance evaluator serves as the internal stand-in.
-        return self._evaluate_internal(results)
+        """Official Lyft protocol: mAP over 3D-IoU thresholds 0.5:0.95
+        (`mmdet3d/core/evaluation/lyft_eval.py:97-140`, invoked at
+        `lyft_dataset.py:296`) — NOT the nuScenes center-distance metric."""
+        from ..core.evaluation.lyft_eval import lyft_eval_core
+        gts = []
+        for info in self.data_infos:
+            boxes = np.asarray(info["gt_boxes"], np.float64)
+            labels = np.asarray(
+                [self.cat2id.get(n, -1) for n in info["gt_names"]],
+                np.int64)
+            gts.append(dict(boxes=boxes, labels=labels))
+        metrics = lyft_eval_core(results, gts, list(self.CLASSES))
+        out = {f"mAP_{c}": v for c, v in
+               zip(metrics["class_names"], metrics["mAPs_cate"])}
+        out["mAP"] = metrics["Final mAP"]
+        out["detail"] = metrics
+        return out
 
 
 @DATASETS.register_module()
