@@ -45,13 +45,70 @@ def box3d_multiclass_nms(boxes: jnp.ndarray, scores: jnp.ndarray,
                 labels=flat_labels[topi], mask=topv > score_thr)
 
 
+def weighted_nms(boxes: np.ndarray, scores: np.ndarray,
+                 nms_thr: float = 0.25, merge_thr: float = 0.7,
+                 yaw_tol: float = 0.3) -> tuple:
+    """Score-weighted box-averaging NMS (the reference's TorchEx
+    ``wnms_gpu``: `ops/TorchEx/torchex/src/weighted_nms/wnms_kernel.cu`,
+    used by the TTA merge `core/post_processing/merge_augs.py:8,49-52`).
+
+    Greedy rotated-BEV NMS at ``nms_thr`` picks the keep set; each kept
+    box is then replaced by the score-weighted average of itself and all
+    LOWER-scored boxes with BEV IoU > ``merge_thr`` whose yaw lies within
+    ``yaw_tol`` rad of the candidate-set median yaw (wnms_kernel.cu:
+    median filter :372-410, accumulation :408-441). The kept box's score
+    is preserved.
+
+    boxes: (N, D>=7) float; scores (N,). Returns (merged_boxes (K, D),
+    keep_scores (K,), keep_indices (K,)) sorted by descending score.
+    """
+    from ..ops.box_ops import boxes_iou_bev
+
+    boxes = np.asarray(boxes, np.float64)
+    scores = np.asarray(scores, np.float64)
+    if len(boxes) == 0:
+        return boxes, scores, np.zeros((0,), np.int64)
+    order = np.argsort(-scores, kind="stable")
+    b, s = boxes[order], scores[order]
+    bev = jnp.asarray(b[:, [0, 1, 3, 4, 6]], jnp.float32)
+    iou = np.asarray(boxes_iou_bev(bev, bev), np.float64)
+
+    n = len(b)
+    suppressed = np.zeros(n, bool)
+    keep: List[int] = []
+    merged: List[np.ndarray] = []
+    for i in range(n):
+        if suppressed[i]:
+            continue
+        keep.append(i)
+        later = np.arange(i + 1, n)
+        suppressed[later] |= iou[i, later] > nms_thr
+        cand = later[iou[i, later] > merge_thr]
+        if len(cand) > 2:
+            median_yaw = np.sort(b[cand, 6])[len(cand) // 2]
+        else:
+            median_yaw = b[i, 6]
+        diff = b[cand, 6] - median_yaw
+        diff = (diff + np.pi) % (2 * np.pi) - np.pi
+        sel = cand[np.abs(diff) < yaw_tol]
+        w = np.concatenate([[s[i]], s[sel]])
+        data = np.concatenate([b[i][None], b[sel]], axis=0)
+        merged.append((w[:, None] * data).sum(0) / w.sum())
+    keep = np.asarray(keep, np.int64)
+    return np.stack(merged), s[keep], order[keep]
+
+
 def merge_aug_bboxes_3d(aug_results: List[dict],
                         aug_metas: List[dict],
                         score_thr: float = 0.0,
                         nms_thr: float = 0.25,
-                        max_num: int = 500) -> dict:
+                        max_num: int = 500,
+                        use_weighted_nms: bool = False,
+                        merge_thr: float = 0.7) -> dict:
     """Undo per-view TTA transforms, concatenate, NMS
-    (`merge_augs.py:merge_aug_bboxes_3d`).
+    (`merge_augs.py:merge_aug_bboxes_3d`); with ``use_weighted_nms`` the
+    kept boxes are score-weighted averages of their high-IoU cluster
+    (TorchEx wnms semantics, `merge_augs.py:49-52`).
 
     aug_metas[i] may carry pcd_horizontal_flip / pcd_vertical_flip /
     pcd_scale_factor / pcd_rotation (scalar yaw) describing view i.
@@ -86,12 +143,38 @@ def merge_aug_bboxes_3d(aug_results: List[dict],
         labels_list.append(np.asarray(res["labels"]))
         mask_list.append(np.asarray(res.get(
             "mask", np.ones(len(b), bool))))
-    boxes = jnp.asarray(np.concatenate(boxes_list))
-    scores = jnp.asarray(np.concatenate(scores_list))
-    labels = jnp.asarray(np.concatenate(labels_list))
-    valid = jnp.asarray(np.concatenate(mask_list))
-    keep = nms_bev_mask(boxes[:, [0, 1, 3, 4, 6]], scores, nms_thr,
-                        valid & (scores > score_thr))
+    np_boxes = np.concatenate(boxes_list)
+    np_scores = np.concatenate(scores_list)
+    np_labels = np.concatenate(labels_list)
+    np_valid = np.concatenate(mask_list).astype(bool)
+    np_valid &= np_scores > score_thr
+    if use_weighted_nms:
+        # per-class wnms (the reference's merge loops classes,
+        # `merge_augs.py:77-89`)
+        out_b, out_s, out_l = [], [], []
+        for c in np.unique(np_labels[np_valid]):
+            sel = np_valid & (np_labels == c)
+            mb, ms, _ = weighted_nms(np_boxes[sel], np_scores[sel],
+                                     nms_thr=nms_thr, merge_thr=merge_thr)
+            out_b.append(mb)
+            out_s.append(ms)
+            out_l.append(np.full(len(ms), c, np_labels.dtype))
+        if not out_b:
+            out_b = [np.zeros((0,) + np_boxes.shape[1:])]
+            out_s, out_l = [np.zeros((0,))], [np.zeros((0,), np.int64)]
+        mb = np.concatenate(out_b)
+        ms = np.concatenate(out_s)
+        ml = np.concatenate(out_l)
+        order = np.argsort(-ms, kind="stable")[:max_num]
+        return dict(bboxes=mb[order].astype(np_boxes.dtype),
+                    scores=ms[order].astype(np_scores.dtype),
+                    labels=ml[order],
+                    mask=ms[order] > score_thr)
+    boxes = jnp.asarray(np_boxes)
+    scores = jnp.asarray(np_scores)
+    labels = jnp.asarray(np_labels)
+    valid = jnp.asarray(np_valid)
+    keep = nms_bev_mask(boxes[:, [0, 1, 3, 4, 6]], scores, nms_thr, valid)
     k = min(max_num, boxes.shape[0])
     topv, topi = jax.lax.top_k(jnp.where(keep, scores, 0.0), k)
     return dict(bboxes=np.asarray(boxes[topi]),

@@ -41,3 +41,49 @@ def test_merge_aug_undoes_flip():
     # the un-flipped duplicate must collapse onto the original
     assert kept.sum() == 1
     np.testing.assert_allclose(merged["bboxes"][0][:2], [5, 3], atol=1e-5)
+
+
+# ------------------------------------------------- weighted NMS (TorchEx)
+def test_weighted_nms_score_weighted_average():
+    from isfusion_tpu.core.post_processing import weighted_nms
+    # two heavily-overlapping boxes: merged center = score-weighted mean
+    b = boxes_at([[0.0, 0.0], [0.3, 0.0], [20, 20]])
+    s = np.array([0.8, 0.4, 0.9], np.float32)
+    merged, scores, idx = weighted_nms(b, s, nms_thr=0.3, merge_thr=0.3)
+    assert len(merged) == 2
+    # sorted by score: box at (20,20) first, merged cluster second
+    np.testing.assert_allclose(scores, [0.9, 0.8], atol=1e-6)
+    expect_x = (0.8 * 0.0 + 0.4 * 0.3) / 1.2
+    np.testing.assert_allclose(merged[1][0], expect_x, atol=1e-6)
+    # kept score preserved (wnms_kernel.cu:443)
+    np.testing.assert_allclose(merged[0][:2], [20, 20], atol=1e-6)
+
+
+def test_weighted_nms_yaw_outlier_excluded():
+    from isfusion_tpu.core.post_processing import weighted_nms
+    # yaw-outlier candidate is excluded from the average but still
+    # suppressed by the NMS threshold
+    b = boxes_at([[0.0, 0.0], [0.1, 0.0], [0.05, 0.0]])
+    b[2, 6] = 1.5  # far from median yaw 0
+    s = np.array([0.9, 0.5, 0.4], np.float32)
+    merged, scores, idx = weighted_nms(b, s, nms_thr=0.3, merge_thr=0.2)
+    assert len(merged) == 1
+    expect_x = (0.9 * 0.0 + 0.5 * 0.1) / 1.4
+    np.testing.assert_allclose(merged[0][0], expect_x, atol=1e-5)
+
+
+def test_merge_aug_weighted_option():
+    base = boxes_at([[5, 3]], yaw=0.4)
+    shifted = base.copy()
+    shifted[:, 0] += 0.2
+    res = [dict(bboxes=base, scores=np.array([0.9]),
+                labels=np.array([0])),
+           dict(bboxes=shifted, scores=np.array([0.3]),
+                labels=np.array([0]))]
+    metas = [dict(), dict()]
+    merged = merge_aug_bboxes_3d(res, metas, nms_thr=0.3, max_num=4,
+                                 use_weighted_nms=True, merge_thr=0.3)
+    assert merged["mask"].sum() == 1
+    expect_x = (0.9 * 5.0 + 0.3 * 5.2) / 1.2
+    np.testing.assert_allclose(merged["bboxes"][0][0], expect_x, atol=1e-5)
+    np.testing.assert_allclose(merged["scores"][0], 0.9, atol=1e-6)
