@@ -24,6 +24,7 @@ from functools import partial
 from typing import Any, Optional, Sequence, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -89,6 +90,76 @@ def window_reverse(tokens: jnp.ndarray, shape_bhwc: Tuple[int, ...], ws: int,
     return x[:, s:s + h, s:s + w]
 
 
+class CosineMultiHeadAttention(nn.Module):
+    """Scaled-cosine window attention (`mmdet3d/models/sst/cosine_msa.py:
+    449` + `_scaled_cosine_attention:123-170`): q and k are L2-normalized
+    per head, logits = cosine similarity divided by a LEARNED temperature
+    ``tau`` clamped at ``tau_min`` (shared across heads, or per-head with
+    ``non_shared_tau``). Selected in the reference via
+    ``layer_cfg=dict(cosine=True)`` (`sst_basic_block_v2.py:20-27`)."""
+
+    num_heads: int
+    qkv_features: int
+    out_features: int
+    dropout_rate: float = 0.0
+    tau_min: float = 0.01
+    non_shared_tau: bool = False
+
+    @nn.compact
+    def __call__(self, inputs_q, inputs_k=None, inputs_v=None, mask=None,
+                 deterministic: bool = True):
+        inputs_k = inputs_q if inputs_k is None else inputs_k
+        inputs_v = inputs_k if inputs_v is None else inputs_v
+        h, dh = self.num_heads, self.qkv_features // self.num_heads
+
+        def proj(x, name):
+            y = nn.Dense(self.qkv_features, name=name)(x)
+            return y.reshape(y.shape[:-1] + (h, dh))
+
+        q = proj(inputs_q, "query")
+        k = proj(inputs_k, "key")
+        v = proj(inputs_v, "value")
+        q = q / (jnp.linalg.norm(q, axis=-1, keepdims=True) + 1e-12)
+        k = k / (jnp.linalg.norm(k, axis=-1, keepdims=True) + 1e-12)
+        tau = self.param(
+            "tau", nn.initializers.ones,
+            (h,) if self.non_shared_tau else (1,))
+        logits = jnp.einsum("...qhd,...khd->...hqk", q, k)
+        logits = logits / jnp.maximum(
+            tau, self.tau_min).reshape(1, -1, 1, 1)
+        if mask is not None:
+            logits = jnp.where(mask, logits, -1e9)
+        w = jax.nn.softmax(logits, axis=-1)
+        w = nn.Dropout(self.dropout_rate, deterministic=deterministic)(w)
+        out = jnp.einsum("...hqk,...khd->...qhd", w, v)
+        out = out.reshape(out.shape[:-2] + (self.qkv_features,))
+        return nn.Dense(self.out_features, name="out")(out)
+
+
+def make_window_attention(layer_cfg: Optional[dict], *, num_heads: int,
+                          qkv_features: int, out_features: int,
+                          dropout_rate: float, name: str) -> nn.Module:
+    """Attention factory keyed on the reference's ``layer_cfg``
+    (`sst_basic_block_v2.py:14-35`): ``dict(cosine=True[, tau_min,
+    non_shared_tau])`` selects scaled-cosine attention, otherwise
+    standard dot-product MHA."""
+    cfg = dict(layer_cfg or {})
+    if cfg.get("cosine", False):
+        return CosineMultiHeadAttention(
+            num_heads=num_heads, qkv_features=qkv_features,
+            out_features=out_features, dropout_rate=dropout_rate,
+            tau_min=float(cfg.get("tau_min", 0.01)),
+            non_shared_tau=bool(cfg.get("non_shared_tau", False)),
+            name=name)
+    if cfg.get("linear", False):
+        raise NotImplementedError(
+            "linear attention is NotImplementedError in the reference "
+            "too (sst_basic_block_v2.py:28-33)")
+    return nn.MultiHeadDotProductAttention(
+        num_heads=num_heads, qkv_features=qkv_features,
+        out_features=out_features, dropout_rate=dropout_rate, name=name)
+
+
 class _SSTEncoderLayer(nn.Module):
     """Window MHA (q=k=feat+pos, v=feat) + FFN, post-norm
     (`sst_basic_block_v2.py:77`)."""
@@ -101,6 +172,7 @@ class _SSTEncoderLayer(nn.Module):
     dropout: float = 0.0
     pos_temperature: float = 1000.0
     normalize_pos: bool = False
+    layer_cfg: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -114,9 +186,10 @@ class _SSTEncoderLayer(nn.Module):
         q = tokens + pos[None]
         # key padding mask: padded tokens attend nowhere / are not attended
         mask = valid[:, None, None, :] & valid[:, None, :, None]
-        attn = nn.MultiHeadDotProductAttention(
-            num_heads=self.nhead, qkv_features=self.d_model,
-            out_features=self.d_model, dropout_rate=self.dropout,
+        attn = make_window_attention(
+            self.layer_cfg, num_heads=self.nhead,
+            qkv_features=self.d_model, out_features=self.d_model,
+            dropout_rate=self.dropout,
             name="win_attn")(q, q, inputs_v=tokens, mask=mask,
                              deterministic=det)
         attn = jnp.where(valid[..., None], attn, 0.0)
@@ -148,6 +221,7 @@ class SSTv2(nn.Module):
     dropout: float = 0.0
     pos_temperature: float = 1000.0
     normalize_pos: bool = False
+    layer_cfg: Any = None   # dict(cosine=True, ...) -> CosineMSA
     with_cp: bool = True   # remat window-attention layers in training
 
     @nn.compact
@@ -169,5 +243,33 @@ class SSTv2(nn.Module):
                 x = layer_cls(
                     d, nh, ff, ws, shift, self.dropout,
                     self.pos_temperature, self.normalize_pos,
+                    self.layer_cfg,
                     name=f"block{b}_layer{li}")(x, train)
+        return x
+
+
+@BACKBONES.register_module()
+class SRABlock(nn.Module):
+    """Sparse-regional-attention block (`mmdet3d/models/sst/sra_block.py:
+    101-137`): two encoder layers, no-shift then shift. The legacy
+    SRATensor window bookkeeping (`ops/sst/sst_ops.py:289`) reduces to
+    the same static window partition used by SSTv2 on dense BEV maps, so
+    the block is the reference's BasicShiftBlock math over (B, H, W, C)
+    input."""
+
+    d_model: int
+    nhead: int
+    dim_feedforward: int
+    window_shape: Tuple[int, int, int] = (6, 6, 1)
+    dropout: float = 0.0
+    layer_cfg: Any = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        ws = int(self.window_shape[0])
+        for li, shift in enumerate((False, True)):
+            x = _SSTEncoderLayer(
+                self.d_model, self.nhead, self.dim_feedforward, ws,
+                shift, self.dropout, layer_cfg=self.layer_cfg,
+                name=f"encoder_{li}")(x, train)
         return x

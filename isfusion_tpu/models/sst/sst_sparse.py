@@ -196,15 +196,17 @@ class _BucketAttention(nn.Module):
     window_shape: Sequence[int]
     dropout: float = 0.0
     pos_temperature: float = 1000.0
+    layer_cfg: Any = None
 
     @nn.compact
     def __call__(self, part: dict, feats: jnp.ndarray,
                  train: bool = False) -> jnp.ndarray:
         det = not train
-        attn_m = nn.MultiHeadDotProductAttention(
-            num_heads=self.nhead, qkv_features=self.d_model,
-            out_features=self.d_model, dropout_rate=self.dropout,
-            name="win_attn")
+        from .sst import make_window_attention
+        attn_m = make_window_attention(
+            self.layer_cfg, num_heads=self.nhead,
+            qkv_features=self.d_model, out_features=self.d_model,
+            dropout_rate=self.dropout, name="win_attn")
         lin1 = nn.Dense(self.dim_feedforward, name="linear1")
         lin2 = nn.Dense(self.d_model, name="linear2")
         norm1 = nn.LayerNorm(name="norm1")
@@ -248,6 +250,7 @@ class SSTv2Sparse(nn.Module):
     win_caps: Optional[Sequence[int]] = None
     in_channel: Optional[int] = None
     dropout: float = 0.0
+    layer_cfg: Any = None   # dict(cosine=True, ...) -> CosineMSA
 
     @nn.compact
     def __call__(self, feats: jnp.ndarray, coords: jnp.ndarray,
@@ -277,6 +280,7 @@ class SSTv2Sparse(nn.Module):
                 x = batched_layer(
                     self.d_model, self.nhead, self.dim_feedforward,
                     self.window_shape, self.dropout,
+                    layer_cfg=self.layer_cfg,
                     name=f"block{blk}_layer{li}")(part, x, train)
         # recover_bev: scatter to (ny, nx) canvas (`sst_v2.py:97`)
         sx, sy = int(self.sparse_shape[0]), int(self.sparse_shape[1])
