@@ -186,7 +186,9 @@ class SwinBlock(nn.Module):
         identity = x
         y = nn.LayerNorm(name="norm2")(x)
         y = nn.Dense(int(self.dim * self.mlp_ratio), name="ffn_fc1")(y)
-        y = nn.gelu(y)
+        # exact erf GELU: torch nn.GELU() default (mmcv FFN act); flax's
+        # default tanh approximation diverges ~2e-3 per block
+        y = nn.gelu(y, approximate=False)
         if self.drop_rate > 0:
             y = nn.Dropout(self.drop_rate, deterministic=not train)(y)
         y = nn.Dense(self.dim, name="ffn_fc2")(y)

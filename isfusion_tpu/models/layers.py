@@ -26,7 +26,7 @@ def build_activation(act_cfg: Optional[dict]) -> Optional[Callable]:
         not isinstance(act_cfg, str) else str(act_cfg).lower()
     return {
         "relu": nn.relu,
-        "gelu": nn.gelu,
+        "gelu": lambda x: nn.gelu(x, approximate=False),
         "silu": nn.silu,
         "swish": nn.silu,
         "leakyrelu": lambda x: nn.leaky_relu(x, 0.01),

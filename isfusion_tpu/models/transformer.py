@@ -56,7 +56,8 @@ class TransformerDecoderLayer(nn.Module):
                  key_pos: Optional[jnp.ndarray],
                  train: bool = False) -> jnp.ndarray:
         det = not train
-        act = {"relu": nn.relu, "gelu": nn.gelu}[self.activation]
+        act = {"relu": nn.relu,
+               "gelu": lambda x: nn.gelu(x, approximate=False)}[self.activation]
         qp = PositionEmbeddingLearned(self.d_model, name="self_posembed")(
             query_pos, train=train) \
             if (self.with_self_posembed and query_pos is not None) else None

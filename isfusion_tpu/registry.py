@@ -66,12 +66,27 @@ class Registry:
         return build_from_cfg(cfg, self, default_args or None)
 
 
+def _stringify_keys(obj: Any) -> Any:
+    """Recursively turn non-str dict keys into str.
+
+    Config dicts become flax module attributes; flax ``Module.clone`` joins
+    attribute-tree paths with ``'_'.join`` which requires str keys (the
+    reference's ``region_drop_info`` uses int keys, config `:20-23`).
+    """
+    if isinstance(obj, dict):
+        return {str(k) if not isinstance(k, str) else k: _stringify_keys(v)
+                for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return type(obj)(_stringify_keys(v) for v in obj)
+    return obj
+
+
 def build_from_cfg(cfg: dict, registry: Registry,
                    default_args: Optional[dict] = None) -> Any:
     """Instantiate ``registry[cfg['type']](**cfg-without-type, **default_args)``."""
     if not isinstance(cfg, dict) or "type" not in cfg:
         raise TypeError(f"cfg must be a dict with a 'type' key, got {cfg!r}")
-    args = dict(cfg)
+    args = _stringify_keys(dict(cfg))
     if default_args is not None:
         for k, v in default_args.items():
             args.setdefault(k, v)
