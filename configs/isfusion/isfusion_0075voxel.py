@@ -325,5 +325,10 @@ momentum_config = dict(policy='cyclic', target_ratio=(0.8947368421052632, 1),
                        cyclic_times=1, step_ratio_up=0.4)
 runner = dict(type='CustomEpochBasedRunner', max_epochs=total_epochs)
 checkpoint_config = dict(interval=1)
-log_config = dict(interval=50)
+log_config = dict(
+    interval=50,
+    hooks=[
+        dict(type='TextLoggerHook'),
+        dict(type='TensorboardLoggerHook'),
+    ])
 dist_params = dict(backend='nccl')  # ignored: jax.distributed + SPMD mesh

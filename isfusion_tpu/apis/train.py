@@ -90,8 +90,19 @@ def train_model(model, dataset, cfg, work_dir: str = "work_dir",
         logger.info("resumed from %s at epoch %d", resume_from, start_epoch)
 
     step_fn = make_train_step(model, tx, mesh=mesh)
-    log_interval = int(dict(cfg.get("log_config", {}) or {}).get(
-        "interval", 50))
+    log_cfg = dict(cfg.get("log_config", {}) or {})
+    log_interval = int(log_cfg.get("interval", 50))
+    # TensorboardLoggerHook parity (reference config `:423-428`): when the
+    # config's log_config.hooks list one, scalars additionally stream to
+    # an event file under work_dir/tf_logs (tensorboardX).
+    tb_writer = None
+    hook_types = [dict(h).get("type") for h in log_cfg.get("hooks", [])]
+    if "TensorboardLoggerHook" in hook_types and jax.process_index() == 0:
+        try:
+            from tensorboardX import SummaryWriter
+            tb_writer = SummaryWriter(os.path.join(work_dir, "tf_logs"))
+        except Exception:   # noqa: BLE001 - observability must not kill
+            logger.exception("tensorboard writer unavailable")
     ckpt_interval = int(dict(cfg.get("checkpoint_config", {}) or {}).get(
         "interval", 1))
     os.makedirs(work_dir, exist_ok=True)
@@ -134,6 +145,11 @@ def train_model(model, dataset, cfg, work_dir: str = "work_dir",
                 logger.info("%s", rec)
                 with open(log_path, "a") as f:
                     f.write(json.dumps(rec) + "\n")
+                if tb_writer is not None:
+                    for k, v in metrics.items():
+                        tb_writer.add_scalar(f"train/{k}", v, global_step)
+                    tb_writer.add_scalar("train/data_time", data_time,
+                                         global_step)
             t_data = time.perf_counter()
         if (epoch + 1) % ckpt_interval == 0 and jax.process_index() == 0:
             save_checkpoint(work_dir, jax.device_get(state),
@@ -162,6 +178,13 @@ def train_model(model, dataset, cfg, work_dir: str = "work_dir",
                 logger.info("%s", rec)
                 with open(log_path, "a") as f:
                     f.write(json.dumps(rec) + "\n")
+                if tb_writer is not None:
+                    for k, v in metrics.items():
+                        if isinstance(v, (int, float)):
+                            tb_writer.add_scalar(f"val/{k}", float(v),
+                                                 epoch + 1)
             except Exception:   # noqa: BLE001 - eval must not kill a run
                 logger.exception("mid-training eval failed")
+    if tb_writer is not None:
+        tb_writer.close()
     return state

@@ -62,25 +62,77 @@ def build_isfusion_flagship(tiny: bool = False):
     cfg = Config.fromfile(ISFUSION_CFG)
     model_cfg = dict(cfg.model)
     if tiny:
+        # Every component TYPE stays in the graph (Swin+FPN, DynamicVFE,
+        # column SparseEncoder, HSF+IGF fusion, SST, SECONDV2, TransFusion
+        # head + Hungarian), but the geometry AND widths are genuinely
+        # small: BEV 24x24 instead of 180x180, 1 camera view, z=25 cells,
+        # ~1/8 channel widths, 16 proposals. The driver's mesh dryrun
+        # compiles AND executes this on a 1-core CPU backend from a COLD
+        # cache inside a 600 s window, so both graph size and per-device
+        # FLOPs are the budget (full widths were measured at >240 s for
+        # ONE 8-virtual-device step).
+        pcr = [-28.8, -28.8, -5.0, 28.8, 28.8, 3.0]
+        vs = [0.3, 0.3, 8.0 / 24.0]
+        vshape = 192            # (28.8*2)/0.3
+        bev = vshape // 8       # 24
+        nzc = 24                # z cells; sparse_shape z = nzc + 1
+        model_cfg["pc_range"] = pcr
+        model_cfg["voxel_size"] = vs
         model_cfg["pts_voxel_layer"] = dict(
-            model_cfg["pts_voxel_layer"], max_voxels=(8000, 8000))
-        model_cfg["pillar_max_voxels"] = (2000, 2000)
-        # shallower blocks (every component TYPE stays in the graph:
-        # Swin+FPN, DynamicVFE, column SparseEncoder, HSF+IGF fusion,
-        # SST, SECONDV2, TransFusion head + Hungarian) — the full-depth
-        # graph takes >40 min to compile on the CPU backend the driver's
-        # mesh dryrun uses
+            point_cloud_range=pcr, max_num_points=-1, voxel_size=vs,
+            max_voxels=(1536, 1536))
+        model_cfg["pillar_max_voxels"] = (512, 512)
         model_cfg["img_backbone"] = dict(
-            model_cfg["img_backbone"], depths=[1, 1, 1, 1],
+            model_cfg["img_backbone"], embed_dims=24,
+            num_heads=[1, 2, 4, 8], depths=[1, 1, 1, 1],
             with_cp=False)
+        model_cfg["img_neck"] = dict(
+            model_cfg["img_neck"], in_channels=[48, 96, 192],
+            out_channels=32)
+        model_cfg["pts_voxel_encoder"] = dict(
+            model_cfg["pts_voxel_encoder"], feat_channels=[16, 16],
+            voxel_size=vs, point_cloud_range=pcr)
         model_cfg["pts_middle_encoder"] = dict(
-            model_cfg["pts_middle_encoder"],
-            encoder_channels=((32, 64), (64, 128), (128, 256), (256,)),
-            encoder_paddings=((0, 1), (0, 1), (0, [0, 1, 1]), (0,)))
+            model_cfg["pts_middle_encoder"], in_channels=16,
+            sparse_shape=[nzc + 1, vshape, vshape],
+            base_channels=8, output_channels=32,
+            encoder_channels=((8, 8, 16), (16, 16, 16), (16, 16, 32),
+                              (32, 32)),
+            # f32 on the CPU-mesh dryrun: XLA:CPU emulates bf16 with
+            # scalar convert/transpose fusions that dominated the step
+            # (~70% of a 590 s profile); bf16 is a TPU policy, not part
+            # of what the sharding dryrun certifies
+            compute_dtype="float32")
+        model_cfg["fusion_encoder"] = dict(
+            model_cfg["fusion_encoder"], embed_dims=32, bev_size=bev,
+            grid_size=[[bev, bev, 1], [bev // 2, bev // 2, 1]],
+            instance_num=16)
         model_cfg["pts_backbone"] = dict(
-            model_cfg["pts_backbone"], layer_nums=[1, 1])
+            model_cfg["pts_backbone"], in_channels=16,
+            out_channels=[16, 32], layer_nums=[1, 1])
+        model_cfg["pts_neck"] = dict(
+            model_cfg["pts_neck"], in_channels=[16, 32],
+            out_channels=[16, 16])
+        head = dict(model_cfg["pts_bbox_head"], num_proposals=16,
+                    in_channels=32, hidden_channel=16, num_heads=2,
+                    ffn_channel=32)
+        head["bbox_coder"] = dict(
+            head["bbox_coder"], pc_range=pcr[:2], voxel_size=vs[:2],
+            post_center_range=[-32.0, -32.0, -10.0, 32.0, 32.0, 10.0])
+        model_cfg["pts_bbox_head"] = head
+        for key in ("train_cfg", "test_cfg"):
+            sub = dict(dict(model_cfg[key])["pts"])
+            sub.update(grid_size=[vshape, vshape, nzc], voxel_size=vs[:2]
+                       if key == "test_cfg" else vs,
+                       out_size_factor=8)
+            if "point_cloud_range" in sub:
+                sub["point_cloud_range"] = pcr
+            if "pc_range" in sub:
+                sub["pc_range"] = pcr[:2]
+            model_cfg[key] = dict(model_cfg[key], pts=sub)
         batch_fn = lambda b: synthetic_multimodal_batch(  # noqa: E731
-            b, num_points=8192, num_views=2, img_hw=(128, 352), num_gt=16)
+            b, num_points=3072, num_views=1, img_hw=(64, 224), num_gt=8,
+            pcr=tuple(pcr))
     else:
         batch_fn = lambda b: synthetic_multimodal_batch(b)  # noqa: E731
     return build_detector(model_cfg), batch_fn
@@ -153,7 +205,8 @@ def synthetic_points_batch(batch_size: int, num_points: int = 120000,
     pts[..., 4] = rng.integers(0, 10, (batch_size, num_points)) * 0.05
     mask = rng.uniform(size=(batch_size, num_points)) > 0.05
     boxes = np.zeros((batch_size, num_gt, 9), np.float32)
-    boxes[..., :2] = rng.uniform(-45, 45, (batch_size, num_gt, 2))
+    boxes[..., :2] = rng.uniform(0.9 * pcr[0], 0.9 * pcr[3],
+                                 (batch_size, num_gt, 2))
     boxes[..., 2] = -1.0
     boxes[..., 3:6] = rng.uniform(0.5, 5.0, (batch_size, num_gt, 3))
     boxes[..., 6] = rng.uniform(-np.pi, np.pi, (batch_size, num_gt))

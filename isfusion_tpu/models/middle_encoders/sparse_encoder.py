@@ -162,6 +162,7 @@ class SparseEncoder(nn.Module):
     dilation_ratio: float = 1.6  # x-dilated column cap / column cap
     return_intermediate: bool = False
     compute_dtype: str = "float32"  # 'bfloat16' halves gather traffic
+    z_pad_to: int = 8   # lane-aligned gather rows (see build_column_grid)
     axis_name: Optional[str] = None
 
     @nn.compact
@@ -183,7 +184,12 @@ class SparseEncoder(nn.Module):
             return max(int(cap_for(stage) * self.dilation_ratio) // 8 * 8, 8)
 
         cg = jax.vmap(lambda f, c, m: build_column_grid(
-            f, c, m, grid, cap_for(0)))(voxel_features, coors, voxel_mask)
+            f, c, m, grid, cap_for(0),
+            z_pad_to=self.z_pad_to))(voxel_features, coors, voxel_mask)
+        # logical z extent (the unpadded reference arithmetic): pad cells
+        # ride along masked-off until the slice before conv_out, so the
+        # dense BEV keeps the reference's exact C_out * nz_out channels
+        z_log = grid[0]
 
         # each stage's subm convs run on the x-dilated column table; the
         # dilation + y-rulebook are rebuilt only after a strided conv
@@ -218,6 +224,7 @@ class SparseEncoder(nn.Module):
                         norm_cfg=norm_cfg, axis_name=self.axis_name,
                         name=name)(cg, train=train)
                     cg, rulebook = _vmap_dilate(cg, dil_cap_for(i))
+                    z_log = (z_log + 2 * pad[0] - 3) // 2 + 1
                 elif self.block_type == "basicblock":
                     if j == len(blocks) - 1 and \
                             i != len(self.encoder_channels) - 1:
@@ -227,6 +234,7 @@ class SparseEncoder(nn.Module):
                             norm_cfg=norm_cfg, axis_name=self.axis_name,
                             name=name)(cg, train=train)
                         cg, rulebook = _vmap_dilate(cg, dil_cap_for(i + 1))
+                        z_log = (z_log + 2 * pad[0] - 3) // 2 + 1
                     else:
                         if in_ch != out_ch:
                             cg = _SparseConvModule(
@@ -246,6 +254,9 @@ class SparseEncoder(nn.Module):
                 in_ch = out_ch
             encode_features.append(cg)
 
+        if cg.feats.shape[2] != z_log:   # drop masked z-pad cells so the
+            cg = cg.replace(feats=cg.feats[:, :, :z_log],   # dense BEV has
+                            zmask=cg.zmask[:, :, :z_log])   # exact channels
         out = _SparseConvModule(
             self.output_channels, kernel_size=(3, 1, 1), stride=(2, 1, 1),
             padding=(0, 0, 0), conv_type="SparseConv3d",

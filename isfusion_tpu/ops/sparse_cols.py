@@ -67,13 +67,22 @@ def _yx(ids: jnp.ndarray, nx: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
 
 def build_column_grid(feats: jnp.ndarray, coords: jnp.ndarray,
                       mask: jnp.ndarray, grid: Sequence[int],
-                      col_cap: int) -> ColumnGrid:
+                      col_cap: int, z_pad_to: int = 1) -> ColumnGrid:
     """(V, C) voxel rows + (V, 3) zyx coords -> ColumnGrid.
 
     Columns beyond `col_cap` are dropped (the capacity-overflow behavior the
     reference already has via hard_voxelize max_voxels).
+
+    ``z_pad_to`` rounds the allocated z extent up (pad cells carry
+    zmask=False and zero features, so convs are unaffected): the fat-row
+    gathers in `subm_conv_col_dil` move (Z*C)-element rows, and the TPU
+    gather engine runs ~1.5x faster when the row is a multiple of 256
+    elements (lane-aligned; measured 136 vs 88 GB/s at stage-0 scale,
+    `tools/analysis_tools/micro_dma_gather.py`). 41 -> 48 keeps every
+    encoder stage's row length a 256 multiple (48*16, 24*32, 12*64...).
     """
     nz, ny, nx = (int(g) for g in grid)
+    nz = -(-nz // int(z_pad_to)) * int(z_pad_to)
     v, c = feats.shape
     bev_ids = jnp.where(mask, coords[:, 1] * nx + coords[:, 2],
                         _INT_MAX).astype(jnp.int32)

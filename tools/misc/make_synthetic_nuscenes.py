@@ -53,7 +53,8 @@ def cam_calib(rng, v, w, h):
     return r, t, intr
 
 
-def make_sample(rng, out, split_dir, idx, num_points, img_hw, n_sweeps=3):
+def make_sample(rng, out, split_dir, idx, num_points, img_hw, n_sweeps=3,
+                classes=None, gt_range=(8, 24)):
     h, w = img_hw
     pcr = (-54, -54, -5, 54, 54, 3)
     token = f"syn{split_dir}{idx:04d}"
@@ -104,8 +105,8 @@ def make_sample(rng, out, split_dir, idx, num_points, img_hw, n_sweeps=3):
             cam_intrinsic=intr,
             timestamp=idx * 10 * 1e6)
 
-    n_gt = int(rng.integers(8, 24))
-    names = rng.choice(CLASSES, n_gt)
+    n_gt = int(rng.integers(*gt_range))
+    names = rng.choice(classes if classes is not None else CLASSES, n_gt)
     attr_of = {"car": "vehicle.parked", "truck": "vehicle.parked",
                "bus": "vehicle.stopped", "trailer": "vehicle.parked",
                "construction_vehicle": "vehicle.parked",
@@ -161,6 +162,11 @@ def main():
     ap.add_argument("--points", type=int, default=120000)
     ap.add_argument("--img-hw", type=int, nargs=2, default=[900, 1600])
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--classes", nargs="+", default=None,
+                    help="restrict GT classes (learnability fixtures: a "
+                         "reduced class set converges in a few thousand "
+                         "steps where the 10-class taxonomy cannot)")
+    ap.add_argument("--gt-range", type=int, nargs=2, default=[8, 24])
     args = ap.parse_args()
     out = args.out
     os.makedirs(out, exist_ok=True)
@@ -168,7 +174,8 @@ def main():
 
     for split, n in [("train", args.train), ("val", args.val)]:
         infos = [make_sample(rng, out, split, i, args.points,
-                             tuple(args.img_hw))
+                             tuple(args.img_hw), classes=args.classes,
+                             gt_range=tuple(args.gt_range))
                  for i in range(n)]
         with open(os.path.join(out, f"nuscenes_infos_{split}.pkl"),
                   "wb") as f:
