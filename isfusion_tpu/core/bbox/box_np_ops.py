@@ -27,13 +27,15 @@ def corners_nd(dims: np.ndarray, origin=0.5) -> np.ndarray:
 
 
 def rotation_2d(points: np.ndarray, angles: np.ndarray) -> np.ndarray:
-    """Rotate (N, M, 2) corners counter-clockwise by (N,) angles."""
+    """Rotate (N, M, 2) corners by (N,) angles — SAME convention as
+    `rotation_3d_in_axis` axis-2 (reference `box_np_ops.py:rotation_2d`
+    einsum): row vectors, x' = x*cos + y*sin (clockwise-positive yaw)."""
     rot_sin = np.sin(angles)
     rot_cos = np.cos(angles)
     rot_mat_T = np.stack([
-        np.stack([rot_cos, rot_sin], -1),
-        np.stack([-rot_sin, rot_cos], -1),
-    ], axis=1)  # (N, 2, 2), transposed rotation
+        np.stack([rot_cos, -rot_sin], -1),
+        np.stack([rot_sin, rot_cos], -1),
+    ], axis=1)  # (N, 2, 2)
     return np.einsum("aij,ajk->aik", points, rot_mat_T)
 
 
@@ -73,9 +75,13 @@ def points_in_rbbox(points: np.ndarray, boxes: np.ndarray,
     # offsets in world frame: (P, N, 3)
     off = points[:, None, :] - centers[None, :, :]
     cos, sin = np.cos(yaw), np.sin(yaw)
-    # rotate offsets by -yaw around z to enter the box frame
-    local_x = off[..., 0] * cos[None] + off[..., 1] * sin[None]
-    local_y = -off[..., 0] * sin[None] + off[..., 1] * cos[None]
+    # inverse of the corner convention (`structures.rotation_3d_in_axis`
+    # axis-2: world = local @ [[c,-s],[s,c]] rows, i.e. wx = lx*c + ly*s)
+    # — r3 regression fix: the forward rotation was applied here instead
+    # of its inverse, so containment disagreed with `boxes.corners` for
+    # every box with |yaw| > 0 (tests/test_core/test_rotation_convention)
+    local_x = off[..., 0] * cos[None] - off[..., 1] * sin[None]
+    local_y = off[..., 0] * sin[None] + off[..., 1] * cos[None]
     local_z = off[..., 2]
     return ((np.abs(local_x) <= dims[None, :, 0] / 2)
             & (np.abs(local_y) <= dims[None, :, 1] / 2)

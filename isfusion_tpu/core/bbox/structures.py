@@ -374,7 +374,8 @@ class CameraInstance3DBoxes(BaseInstance3DBoxes):
             if isinstance(points, np.ndarray):
                 points[:, :3] = points[:, :3] @ rot_mat_T
             else:
-                points.rotate(float(angle))
+                # clockwise, like the centers (`cam_box3d.py:213-215`)
+                points.rotate(-float(angle))
             return points, rot_mat_T
         return rot_mat_T
 
@@ -422,22 +423,25 @@ class DepthInstance3DBoxes(BaseInstance3DBoxes):
         return np.concatenate([centers - dims / 2, centers + dims / 2], -1)
 
     def rotate(self, angle, points=None):
+        # reference depth_box3d.py:139-153: centers use the TRANSPOSED
+        # matrix (counter-clockwise for row vectors) and yaw DECREASES
         angle = np.asarray(angle, dtype=np.float32)
         if angle.size == 1:
             rot_sin, rot_cos = np.sin(angle), np.cos(angle)
-            rot_mat_T = np.array([[rot_cos, -rot_sin, 0],
-                                  [rot_sin, rot_cos, 0],
+            rot_mat_T = np.array([[rot_cos, rot_sin, 0],
+                                  [-rot_sin, rot_cos, 0],
                                   [0, 0, 1]], dtype=np.float32)
         else:
-            rot_mat_T = angle
-            angle = np.arctan2(rot_mat_T[1, 0], rot_mat_T[0, 0])
+            rot_mat_T = np.asarray(angle, np.float32).T
+            angle = np.arctan2(rot_mat_T[0, 1], rot_mat_T[0, 0])
         self.tensor[:, :3] = self.tensor[:, :3] @ rot_mat_T
         if self.with_yaw:
-            self.tensor[:, 6] += float(angle)
+            self.tensor[:, 6] -= float(angle)
         if points is not None:
             if isinstance(points, np.ndarray):
                 points[:, :3] = points[:, :3] @ rot_mat_T
             else:
+                # anti-clockwise, like the centers (`depth_box3d.py:169-171`)
                 points.rotate(float(angle))
             return points, rot_mat_T
         return rot_mat_T

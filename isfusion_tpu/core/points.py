@@ -59,14 +59,23 @@ class BasePoints:
 
     def rotate(self, rotation, axis: Optional[int] = None):
         """Rotate points by an angle (counter-clockwise around ``axis``) or a
-        3x3 matrix applied as ``xyz @ R``."""
+        3x3 matrix applied as ``xyz @ R``.
+
+        Scalar semantics match the reference's BasePoints.rotate
+        (`mmdet3d/core/points/base_points.py:140-180`, which builds the
+        base matrix and then TRANSPOSES it): for row vectors,
+        ``rotate(+phi)`` moves a point counter-clockwise by ``phi`` around
+        the axis. The box classes' paired calls (``boxes.rotate(theta,
+        points)``) rely on this sign — a non-transposed axis-2 matrix here
+        silently rotated points OPPOSITE to box centers in every
+        GlobalRotScaleTrans aug (found via zero train-time positives)."""
         rotation = np.asarray(rotation, dtype=np.float32)
         axis = self.ROT_AXIS if axis is None else axis
         if rotation.size == 1:
             rot_sin, rot_cos = np.sin(rotation), np.cos(rotation)
             if axis == 2:
-                rot_mat_T = np.array([[rot_cos, -rot_sin, 0],
-                                      [rot_sin, rot_cos, 0],
+                rot_mat_T = np.array([[rot_cos, rot_sin, 0],
+                                      [-rot_sin, rot_cos, 0],
                                       [0, 0, 1]], dtype=np.float32)
             elif axis == 1:
                 rot_mat_T = np.array([[rot_cos, 0, rot_sin],
@@ -75,8 +84,8 @@ class BasePoints:
                                      dtype=np.float32)
             elif axis == 0:
                 rot_mat_T = np.array([[1, 0, 0],
-                                      [0, rot_cos, -rot_sin],
-                                      [0, rot_sin, rot_cos]],
+                                      [0, rot_cos, rot_sin],
+                                      [0, -rot_sin, rot_cos]],
                                      dtype=np.float32)
             else:
                 raise ValueError(axis)

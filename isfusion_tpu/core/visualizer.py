@@ -81,7 +81,8 @@ def draw_bev_png(points: Optional[np.ndarray], gt_boxes: Optional[np.ndarray],
         cx, cy, dx, dy, yaw = box[0], box[1], box[3], box[4], box[6]
         c, s = np.cos(yaw), np.sin(yaw)
         local = np.array([[dx, dy], [dx, -dy], [-dx, -dy], [-dx, dy]]) / 2
-        rot = local @ np.array([[c, s], [-s, c]])
+        # box corner convention: world = local @ [[c,-s],[s,c]] rows
+        rot = local @ np.array([[c, -s], [s, c]])
         return rot + np.array([cx, cy])
 
     for boxes, color in ((gt_boxes, (60, 220, 90)),

@@ -134,12 +134,17 @@ class GlobalRotScaleTransV2:
             translation = np.array(
                 [np.random.normal(0, self.trans_lim) for _ in range(3)],
                 np.float32)
+            gt_boxes = data["gt_bboxes_3d"]
+            # combined call: the box class rotates the points with ITS
+            # OWN matrix/sign (reference transforms_3d.py:1747-1753) —
+            # separate points.rotate/boxes.rotate calls encode one box
+            # convention and silently shear points off boxes for others
             if "points" in data:
-                data["points"].rotate(-theta)
+                _, rotation = gt_boxes.rotate(theta, data["points"])
                 data["points"].translate(translation)
                 data["points"].scale(scale)
-            gt_boxes = data["gt_bboxes_3d"]
-            rotation = gt_boxes.rotate(theta)
+            else:
+                rotation = gt_boxes.rotate(theta)
             gt_boxes.translate(translation)
             gt_boxes.scale(scale)
             transform[:3, :3] = rotation.T * scale
@@ -275,12 +280,19 @@ class GlobalRotScaleTrans:
         scale = np.random.uniform(*self.scale_ratio_range)
         trans = np.random.normal(scale=self.translation_std, size=3).astype(
             np.float32)
+        has_boxes = "gt_bboxes_3d" in data and len(data["gt_bboxes_3d"])
         if "points" in data:
-            data["points"].rotate(-theta)
+            if has_boxes:
+                # combined call: box class rotates points with its own
+                # matrix/sign (reference transforms_3d.py:1747-1753)
+                data["gt_bboxes_3d"].rotate(theta, data["points"])
+            else:
+                data["points"].rotate(theta)
             data["points"].translate(trans)
             data["points"].scale(scale)
-        if "gt_bboxes_3d" in data and len(data["gt_bboxes_3d"]):
+        elif has_boxes:
             data["gt_bboxes_3d"].rotate(theta)
+        if has_boxes:
             data["gt_bboxes_3d"].translate(trans)
             data["gt_bboxes_3d"].scale(scale)
         data["pcd_scale_factor"] = scale
@@ -359,7 +371,9 @@ class ObjectNoise:
             cs, sn = np.cos(r), np.sin(r)
             rot = np.array([[cs, -sn, 0], [sn, cs, 0], [0, 0, 1]],
                            np.float32)
-            tensor[sel, :3] = rel @ rot.T + c + t
+            # same matrix/side as box corners (yaw += r below rotates the
+            # box shape by `rel @ rot`, so its points must follow suit)
+            tensor[sel, :3] = rel @ rot + c + t
             arr[i, :3] += t
             arr[i, 6] += r
         data["points"] = pts.new_point(tensor)

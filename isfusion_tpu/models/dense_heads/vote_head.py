@@ -150,8 +150,9 @@ class VoteHead(nn.Module):
         rel = seed_xyz[:, :, None, :] - grav[:, None, :, :]
         yaw = gt_boxes[..., 6]
         cos, sin = jnp.cos(yaw), jnp.sin(yaw)
-        lx = rel[..., 0] * cos[:, None] + rel[..., 1] * sin[:, None]
-        ly = -rel[..., 0] * sin[:, None] + rel[..., 1] * cos[:, None]
+        # inverse of the corner convention (box_np_ops.points_in_rbbox)
+        lx = rel[..., 0] * cos[:, None] - rel[..., 1] * sin[:, None]
+        ly = rel[..., 0] * sin[:, None] + rel[..., 1] * cos[:, None]
         inside = (jnp.abs(lx) < gt_boxes[..., 3][:, None] / 2) & \
                  (jnp.abs(ly) < gt_boxes[..., 4][:, None] / 2) & \
                  (jnp.abs(rel[..., 2]) < gt_boxes[..., 5][:, None] / 2) & \

@@ -27,8 +27,10 @@ def box_face_centers(boxes: jnp.ndarray) -> jnp.ndarray:
     dx, dy, dz = boxes[..., 3], boxes[..., 4], boxes[..., 5]
     yaw = boxes[..., 6]
     cos, sin = jnp.cos(yaw), jnp.sin(yaw)
-    ex = jnp.stack([cos, sin, jnp.zeros_like(cos)], -1) * dx[..., None] / 2
-    ey = jnp.stack([-sin, cos, jnp.zeros_like(cos)], -1) * dy[..., None] / 2
+    # box axes in world frame per the corner convention: local +x maps to
+    # (cos, -sin), local +y to (sin, cos) (structures.rotation_3d_in_axis)
+    ex = jnp.stack([cos, -sin, jnp.zeros_like(cos)], -1) * dx[..., None] / 2
+    ey = jnp.stack([sin, cos, jnp.zeros_like(cos)], -1) * dy[..., None] / 2
     ez = jnp.stack([jnp.zeros_like(cos), jnp.zeros_like(cos),
                     jnp.ones_like(cos)], -1) * dz[..., None] / 2
     return jnp.stack([c + ex, c - ex, c + ey, c - ey, c + ez, c - ez],

@@ -130,8 +130,9 @@ class PartA2(nn.Module):
             rel = rel.at[..., 2].add(-gts[None, :, 5] / 2)
             yaw = gts[:, 6]
             cos, sin = jnp.cos(yaw)[None], jnp.sin(yaw)[None]
-            lx = rel[..., 0] * cos + rel[..., 1] * sin
-            ly = -rel[..., 0] * sin + rel[..., 1] * cos
+            # inverse of the corner convention (box_np_ops.points_in_rbbox)
+            lx = rel[..., 0] * cos - rel[..., 1] * sin
+            ly = rel[..., 0] * sin + rel[..., 1] * cos
             lz = rel[..., 2]
             dims = jnp.maximum(gts[:, 3:6], 1e-3)
             u = lx / dims[None, :, 0] + 0.5

@@ -34,8 +34,9 @@ def roiaware_pool(rois: jnp.ndarray, centers: jnp.ndarray,
     rel = rel.at[..., 2].add(-rois[:, None, 5] / 2)   # box gravity frame
     yaw = rois[:, 6]
     cos, sin = jnp.cos(yaw)[:, None], jnp.sin(yaw)[:, None]
-    lx = rel[..., 0] * cos + rel[..., 1] * sin
-    ly = -rel[..., 0] * sin + rel[..., 1] * cos
+    # inverse of the box corner convention (see box_np_ops.points_in_rbbox)
+    lx = rel[..., 0] * cos - rel[..., 1] * sin
+    ly = rel[..., 0] * sin + rel[..., 1] * cos
     lz = rel[..., 2]
     dims = jnp.maximum(rois[:, 3:6], 1e-3)
     # normalized in-box coords in [0, 1)

@@ -21,14 +21,19 @@ def limit_period(val: jnp.ndarray, offset: float = 0.5,
 
 
 def rotated_corners_2d(boxes_bev: jnp.ndarray) -> jnp.ndarray:
-    """(..., 4, 2) corners of (..., 5) BEV boxes (x, y, dx, dy, yaw), CCW."""
+    """(..., 4, 2) corners of (..., 5) BEV boxes (x, y, dx, dy, yaw).
+
+    Vertex order is CCW; the yaw rotation follows the box convention
+    (`core.bbox.structures.rotation_3d_in_axis` axis-2, row vectors:
+    wx = lx*cos + ly*sin) so BEV corners agree with `boxes.corners`.
+    """
     x, y, dx, dy, yaw = jnp.moveaxis(boxes_bev, -1, 0)
     cos, sin = jnp.cos(yaw), jnp.sin(yaw)
     # canonical corners CCW
     cx = jnp.stack([dx, dx, -dx, -dx], -1) * 0.5
     cy = jnp.stack([-dy, dy, dy, -dy], -1) * 0.5
-    rx = cx * cos[..., None] - cy * sin[..., None] + x[..., None]
-    ry = cx * sin[..., None] + cy * cos[..., None] + y[..., None]
+    rx = cx * cos[..., None] + cy * sin[..., None] + x[..., None]
+    ry = -cx * sin[..., None] + cy * cos[..., None] + y[..., None]
     return jnp.stack([rx, ry], -1)
 
 
