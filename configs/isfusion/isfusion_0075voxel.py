@@ -40,8 +40,14 @@ model = dict(
     out_size_factor=out_size_factor,
     pillar_max_voxels=pillar_max_voxels,
 
+    # bfloat16 compute with float32 master params across the model
+    # (TPU-first policy replacing the reference's auto_fp16 decorators;
+    # geometry — voxelization, VFE centers, box decode, Hungarian costs,
+    # softmax/norm statistics — stays float32, see models/layers.py
+    # resolve_dtype)
     img_backbone=dict(
         type='SwinTransformer',
+        compute_dtype='bfloat16',
         embed_dims=96,
         depths=[2, 2, 6, 2],
         num_heads=[3, 6, 12, 24],
@@ -58,6 +64,7 @@ model = dict(
         convert_weights=False),
     img_neck=dict(
         type='GeneralizedLSSFPN',
+        compute_dtype='bfloat16',
         in_channels=[192, 384, 768],
         out_channels=256,
         start_level=0,
@@ -97,6 +104,7 @@ model = dict(
 
     fusion_encoder=dict(
         type='ISFusionEncoder',
+        compute_dtype='bfloat16',
         num_points_in_pillar=12,
         embed_dims=256,
         num_classes=len(class_names),
@@ -109,6 +117,7 @@ model = dict(
 
     pts_backbone=dict(
         type='SECONDV2',
+        compute_dtype='bfloat16',
         in_channels=128,
         out_channels=[128, 256],
         layer_nums=[5, 5],
@@ -118,6 +127,7 @@ model = dict(
 
     pts_neck=dict(
         type='SECONDFPN',
+        compute_dtype='bfloat16',
         in_channels=[128, 256],
         out_channels=[256, 256],
         upsample_strides=[1, 2],
@@ -127,6 +137,7 @@ model = dict(
 
     pts_bbox_head=dict(
         type='TransFusionHeadV2',
+        compute_dtype='bfloat16',
         num_proposals=200,
         auxiliary=True,
         in_channels=256 * 2,

@@ -94,7 +94,10 @@ model = dict(
         pts=dict(
             use_rotate_nms=True,
             nms_across_levels=False,
-            nms_pre=1000,
+            # rotated-NMS pairwise IoU materializes O(B * nms_pre^2 * 24)
+            # intersection candidates; 1000 pre-NMS boxes at batch 4 is a
+            # 49 GB tensor on a 16 GB chip. 256 is plenty for <=32 GT.
+            nms_pre=256,
             nms_thr=0.2,
             score_thr=0.05,
             min_bbox_size=0,

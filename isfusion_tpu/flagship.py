@@ -53,15 +53,20 @@ def synthetic_multimodal_batch(batch_size: int, num_points: int = 200000,
     return base
 
 
-def build_isfusion_flagship(tiny: bool = False):
+def build_isfusion_flagship(tiny: bool = False,
+                            tiny_compute_dtype=None):
     """(model, batch_fn) for the full IS-Fusion stack. ``tiny`` shrinks
-    point/voxel/pillar capacities and image size (same topology)."""
+    point/voxel/pillar capacities and image size (same topology).
+    ``tiny_compute_dtype`` overrides the tiny variant's per-module
+    compute_dtype (default f32 — CPU dryruns; tests pass 'bfloat16' to
+    golden-check the mixed-precision policy on small shapes)."""
     from .config import Config
     from .models import build_detector
 
     cfg = Config.fromfile(ISFUSION_CFG)
     model_cfg = dict(cfg.model)
     if tiny:
+        tcd = tiny_compute_dtype
         # Every component TYPE stays in the graph (Swin+FPN, DynamicVFE,
         # column SparseEncoder, HSF+IGF fusion, SST, SECONDV2, TransFusion
         # head + Hungarian), but the geometry AND widths are genuinely
@@ -82,13 +87,16 @@ def build_isfusion_flagship(tiny: bool = False):
             point_cloud_range=pcr, max_num_points=-1, voxel_size=vs,
             max_voxels=(1536, 1536))
         model_cfg["pillar_max_voxels"] = (512, 512)
+        # tiny = CPU-dryrun shapes; bf16 on XLA:CPU is emulated with
+        # scalar convert fusions that dominate the step, so the tiny
+        # variant pins every compute_dtype back to f32
         model_cfg["img_backbone"] = dict(
             model_cfg["img_backbone"], embed_dims=24,
             num_heads=[1, 2, 4, 8], depths=[1, 1, 1, 1],
-            with_cp=False)
+            with_cp=False, compute_dtype=tcd)
         model_cfg["img_neck"] = dict(
             model_cfg["img_neck"], in_channels=[48, 96, 192],
-            out_channels=32)
+            out_channels=32, compute_dtype=tcd)
         model_cfg["pts_voxel_encoder"] = dict(
             model_cfg["pts_voxel_encoder"], feat_channels=[16, 16],
             voxel_size=vs, point_cloud_range=pcr)
@@ -102,20 +110,21 @@ def build_isfusion_flagship(tiny: bool = False):
             # scalar convert/transpose fusions that dominated the step
             # (~70% of a 590 s profile); bf16 is a TPU policy, not part
             # of what the sharding dryrun certifies
-            compute_dtype="float32")
+            compute_dtype=tcd or "float32")
         model_cfg["fusion_encoder"] = dict(
             model_cfg["fusion_encoder"], embed_dims=32, bev_size=bev,
             grid_size=[[bev, bev, 1], [bev // 2, bev // 2, 1]],
-            instance_num=16)
+            instance_num=16, compute_dtype=tcd)
         model_cfg["pts_backbone"] = dict(
             model_cfg["pts_backbone"], in_channels=16,
-            out_channels=[16, 32], layer_nums=[1, 1])
+            out_channels=[16, 32], layer_nums=[1, 1],
+            compute_dtype=tcd)
         model_cfg["pts_neck"] = dict(
             model_cfg["pts_neck"], in_channels=[16, 32],
-            out_channels=[16, 16])
+            out_channels=[16, 16], compute_dtype=tcd)
         head = dict(model_cfg["pts_bbox_head"], num_proposals=16,
                     in_channels=32, hidden_channel=16, num_heads=2,
-                    ffn_channel=32)
+                    ffn_channel=32, compute_dtype=tcd)
         head["bbox_coder"] = dict(
             head["bbox_coder"], pc_range=pcr[:2], voxel_size=vs[:2],
             post_center_range=[-32.0, -32.0, -10.0, 32.0, 32.0, 10.0])

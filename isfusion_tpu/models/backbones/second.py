@@ -13,7 +13,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from ...registry import BACKBONES
-from ..layers import ConvModule
+from ..layers import ConvModule, resolve_dtype
 
 
 class _SECONDBlock(nn.Module):
@@ -23,18 +23,21 @@ class _SECONDBlock(nn.Module):
     norm_cfg: Optional[dict]
     axis_name: Optional[str] = None
     include_entry: bool = True  # stride-2 SECONDV2 blocks have no entry conv
+    compute_dtype: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         norm = self.norm_cfg or dict(type="BN", eps=1e-3, momentum=0.01)
+        dt = resolve_dtype(self.compute_dtype)
         if self.include_entry:
             x = ConvModule(self.out_channels, 3, stride=self.stride,
                            padding=1, bias=False, norm_cfg=norm,
-                           act_cfg=dict(type="relu"),
+                           act_cfg=dict(type="relu"), dtype=dt,
                            axis_name=self.axis_name)(x, train=train)
         for _ in range(self.num_layers):
             x = ConvModule(self.out_channels, 3, padding=1, bias=False,
                            norm_cfg=norm, act_cfg=dict(type="relu"),
+                           dtype=dt,
                            axis_name=self.axis_name)(x, train=train)
         return x
 
@@ -51,15 +54,19 @@ class SECOND(nn.Module):
     norm_cfg: Optional[dict] = None
     conv_cfg: Optional[dict] = None
     axis_name: Optional[str] = None
+    compute_dtype: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False
                  ) -> Tuple[jnp.ndarray, ...]:
         outs = []
+        x = x.astype(resolve_dtype(self.compute_dtype) or x.dtype)
         for i in range(len(self.layer_nums)):
             x = _SECONDBlock(self.out_channels[i], self.layer_nums[i],
                              self.layer_strides[i], self.norm_cfg,
-                             self.axis_name)(x, train=train)
+                             self.axis_name,
+                             compute_dtype=self.compute_dtype)(x,
+                                                               train=train)
             outs.append(x)
         return tuple(outs)
 
@@ -81,21 +88,25 @@ class SECONDV2(nn.Module):
     norm_cfg: Optional[dict] = None
     conv_cfg: Optional[dict] = None
     axis_name: Optional[str] = None
+    compute_dtype: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, stage: Optional[str] = "stage1",
                  train: bool = False):
         norm = self.norm_cfg or dict(type="BN", eps=1e-3, momentum=0.01)
+        x = x.astype(resolve_dtype(self.compute_dtype) or x.dtype)
 
         def block0(h):
             return _SECONDBlock(self.out_channels[0], self.layer_nums[0],
                                 self.layer_strides[0], norm, self.axis_name,
+                                compute_dtype=self.compute_dtype,
                                 name="block0")(h, train=train)
 
         def ds(h):
             return ConvModule(self.out_channels[1], 3, stride=2, padding=1,
                               bias=False, norm_cfg=norm,
                               act_cfg=dict(type="relu"),
+                              dtype=resolve_dtype(self.compute_dtype),
                               axis_name=self.axis_name,
                               name="ds_layer")(h, train=train)
 
@@ -104,6 +115,7 @@ class SECONDV2(nn.Module):
             # (`second.py:127-139`): just layer_nums[1] convs at 256ch.
             return _SECONDBlock(self.out_channels[1], self.layer_nums[1],
                                 1, norm, self.axis_name, include_entry=False,
+                                compute_dtype=self.compute_dtype,
                                 name="block1")(h, train=train)
 
         if stage == "stage1":

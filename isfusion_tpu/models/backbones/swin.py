@@ -24,6 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ...registry import BACKBONES
+from ..layers import resolve_dtype
 
 
 def _rel_pos_index(ws: int) -> np.ndarray:
@@ -74,6 +75,7 @@ class WindowMSA(nn.Module):
     qk_scale: Optional[float] = None
     attn_drop: float = 0.0
     proj_drop: float = 0.0
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None,
@@ -83,7 +85,8 @@ class WindowMSA(nn.Module):
         nh = self.num_heads
         hd = c // nh
         scale = self.qk_scale or hd ** -0.5
-        qkv = nn.Dense(3 * c, use_bias=self.qkv_bias, name="qkv")(x)
+        qkv = nn.Dense(3 * c, use_bias=self.qkv_bias, dtype=self.dtype,
+                       name="qkv")(x)
         qkv = qkv.reshape(b, n, 3, nh, hd).transpose(2, 0, 3, 1, 4)
         q, k, v = qkv[0] * scale, qkv[1], qkv[2]
         attn = jnp.einsum("bhnd,bhmd->bhnm", q, k,
@@ -102,13 +105,13 @@ class WindowMSA(nn.Module):
             attn = attn.reshape(b // nw, nw, nh, n, n) + \
                 mask[None, :, None]
             attn = attn.reshape(b, nh, n, n)
-        attn = jax.nn.softmax(attn, axis=-1)
+        attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
         if self.attn_drop > 0:
             attn = nn.Dropout(self.attn_drop, deterministic=not train)(attn)
         out = jnp.einsum("bhnm,bhmd->bhnd", attn, v,
                          preferred_element_type=jnp.float32)
         out = out.transpose(0, 2, 1, 3).reshape(b, n, c).astype(x.dtype)
-        out = nn.Dense(c, name="proj")(out)
+        out = nn.Dense(c, dtype=self.dtype, name="proj")(out)
         if self.proj_drop > 0:
             out = nn.Dropout(self.proj_drop, deterministic=not train)(out)
         return out
@@ -126,6 +129,7 @@ class ShiftWindowMSA(nn.Module):
     qk_scale: Optional[float] = None
     attn_drop: float = 0.0
     proj_drop: float = 0.0
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, hw: Tuple[int, int],
@@ -148,6 +152,7 @@ class ShiftWindowMSA(nn.Module):
         x = x.transpose(0, 1, 3, 2, 4, 5).reshape(-1, ws * ws, c)
         x = WindowMSA(self.dim, self.num_heads, ws, self.qkv_bias,
                       self.qk_scale, self.attn_drop, self.proj_drop,
+                      dtype=self.dtype,
                       name="w_msa")(x, mask, train=train)
         # reverse
         x = x.reshape(b, hp // ws, wp // ws, ws, ws, c)
@@ -171,27 +176,30 @@ class SwinBlock(nn.Module):
     drop_rate: float = 0.0
     attn_drop_rate: float = 0.0
     drop_path_rate: float = 0.0
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, hw: Tuple[int, int],
                  train: bool = False) -> jnp.ndarray:
+        dt = self.dtype
         identity = x
-        x = nn.LayerNorm(name="norm1")(x)
+        x = nn.LayerNorm(dtype=dt, name="norm1")(x)
         x = ShiftWindowMSA(
             self.dim, self.num_heads, self.window_size,
             self.window_size // 2 if self.shift else 0,
             self.qkv_bias, self.qk_scale, self.attn_drop_rate,
-            self.drop_rate, name="attn")(x, hw, train=train)
+            self.drop_rate, dtype=dt, name="attn")(x, hw, train=train)
         x = identity + DropPath(self.drop_path_rate)(x, train=train)
         identity = x
-        y = nn.LayerNorm(name="norm2")(x)
-        y = nn.Dense(int(self.dim * self.mlp_ratio), name="ffn_fc1")(y)
+        y = nn.LayerNorm(dtype=dt, name="norm2")(x)
+        y = nn.Dense(int(self.dim * self.mlp_ratio), dtype=dt,
+                     name="ffn_fc1")(y)
         # exact erf GELU: torch nn.GELU() default (mmcv FFN act); flax's
         # default tanh approximation diverges ~2e-3 per block
         y = nn.gelu(y, approximate=False)
         if self.drop_rate > 0:
             y = nn.Dropout(self.drop_rate, deterministic=not train)(y)
-        y = nn.Dense(self.dim, name="ffn_fc2")(y)
+        y = nn.Dense(self.dim, dtype=dt, name="ffn_fc2")(y)
         if self.drop_rate > 0:
             y = nn.Dropout(self.drop_rate, deterministic=not train)(y)
         return identity + DropPath(self.drop_path_rate)(y, train=train)
@@ -202,6 +210,7 @@ class PatchMerging(nn.Module):
     mmcv PatchMerging)."""
 
     out_dim: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, hw: Tuple[int, int]
@@ -215,8 +224,9 @@ class PatchMerging(nn.Module):
         # (x0=TL, x1=TR, x2=BL, x3=BR) row-major within the 2x2 patch.
         x = x.reshape(b, hp // 2, 2, wp // 2, 2, c)
         x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, -1, 4 * c)
-        x = nn.LayerNorm(name="norm")(x)
-        x = nn.Dense(self.out_dim, use_bias=False, name="reduction")(x)
+        x = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+        x = nn.Dense(self.out_dim, use_bias=False, dtype=self.dtype,
+                     name="reduction")(x)
         return x, (hp // 2, wp // 2)
 
 
@@ -247,20 +257,24 @@ class SwinTransformer(nn.Module):
     frozen_stages: int = -1
     pretrained: Optional[str] = None
     init_cfg: Optional[dict] = None
+    compute_dtype: Optional[str] = None
 
     @nn.compact
     def __call__(self, img: jnp.ndarray, train: bool = False):
+        dt = resolve_dtype(self.compute_dtype)
+        if dt is not None:
+            img = img.astype(dt)
         b, h0, w0, _ = img.shape
         p = self.patch_size
         hp = int(np.ceil(h0 / p)) * p
         wp = int(np.ceil(w0 / p)) * p
         img = jnp.pad(img, ((0, 0), (0, hp - h0), (0, wp - w0), (0, 0)))
         x = nn.Conv(self.embed_dims, (p, p), strides=(p, p), padding="VALID",
-                    name="patch_embed")(img)
+                    dtype=dt, name="patch_embed")(img)
         hw = (hp // p, wp // p)
         x = x.reshape(b, hw[0] * hw[1], self.embed_dims)
         if self.patch_norm:
-            x = nn.LayerNorm(name="patch_norm")(x)
+            x = nn.LayerNorm(dtype=dt, name="patch_norm")(x)
         if self.drop_rate > 0:
             x = nn.Dropout(self.drop_rate, deterministic=not train)(x)
 
@@ -282,13 +296,14 @@ class SwinTransformer(nn.Module):
                     mlp_ratio=self.mlp_ratio, qkv_bias=self.qkv_bias,
                     qk_scale=self.qk_scale, drop_rate=self.drop_rate,
                     attn_drop_rate=self.attn_drop_rate,
-                    drop_path_rate=dpr[blk_idx],
+                    drop_path_rate=dpr[blk_idx], dtype=dt,
                     name=f"stage{i}_block{d}")(x, hw, train)
                 blk_idx += 1
             if i in self.out_indices:
-                y = nn.LayerNorm(name=f"out_norm{i}")(x)
+                y = nn.LayerNorm(dtype=dt, name=f"out_norm{i}")(x)
                 outs.append(y.reshape(b, hw[0], hw[1], dim))
             if i < num_stages - 1:
-                x, hw = PatchMerging(dim * 2, name=f"downsample{i}")(x, hw)
+                x, hw = PatchMerging(dim * 2, dtype=dt,
+                                     name=f"downsample{i}")(x, hw)
                 dim *= 2
         return outs

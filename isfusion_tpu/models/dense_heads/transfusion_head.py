@@ -27,7 +27,7 @@ from ...registry import (BBOX_ASSIGNERS, BBOX_CODERS, HEADS, build_from_cfg)
 from ...core.bbox.assigners import HungarianAssigner3D
 from ...ops.box_ops import circle_nms_mask
 from ...ops.gaussian import draw_heatmap_gaussian_batch, gaussian_radius
-from ..layers import ConvModule
+from ..layers import ConvModule, resolve_dtype
 from ..losses import build_loss
 from ..transformer import TransformerDecoderLayer
 from .centerpoint_head import clip_sigmoid
@@ -40,6 +40,7 @@ class _FFNHead(nn.Module):
     heads: Any
     head_conv: int = 64
     init_bias: float = -2.19
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> dict:
@@ -47,15 +48,20 @@ class _FFNHead(nn.Module):
         for key, (classes, num_conv) in dict(self.heads).items():
             h = x
             for i in range(int(num_conv) - 1):
-                h = nn.Dense(self.head_conv, name=f"{key}_{i}")(h)
+                h = nn.Dense(self.head_conv, dtype=self.dtype,
+                             name=f"{key}_{i}")(h)
                 h = nn.BatchNorm(use_running_average=not train,
                                  momentum=0.9, epsilon=1e-5,
+                                 dtype=self.dtype,
                                  name=f"{key}_{i}_bn")(h)
                 h = nn.relu(h)
             bias_init = nn.initializers.constant(self.init_bias) \
                 if key == "heatmap" else nn.initializers.zeros
+            # final branch Dense in f32: box regression / logits feed
+            # decode + Hungarian targets at full precision
             out[key] = nn.Dense(int(classes), bias_init=bias_init,
-                                name=f"{key}_final")(h)
+                                name=f"{key}_final")(
+                                    h.astype(jnp.float32))
         return out
 
 
@@ -99,6 +105,7 @@ class TransFusionHeadV2(nn.Module):
     train_cfg: Optional[dict] = None
     test_cfg: Optional[dict] = None
     bbox_coder: Optional[dict] = None
+    compute_dtype: Optional[str] = None
 
     def _coder(self):
         return build_from_cfg(dict(self.bbox_coder), BBOX_CODERS)
@@ -121,20 +128,25 @@ class TransFusionHeadV2(nn.Module):
         """feats: (B, H, W, C_in) or a 1-list of it. Returns a dict of
         (B, num_proposals [* num_layers], c) predictions + dense maps."""
         x = feats[0] if isinstance(feats, (tuple, list)) else feats
+        dt = resolve_dtype(self.compute_dtype)
+        if dt is not None:
+            x = x.astype(dt)
         b, h, w, _ = x.shape
         p = self.num_proposals
         nc = self.num_classes
         lidar_feat = nn.Conv(self.hidden_channel, (3, 3), padding=1,
-                             use_bias=True, name="shared_conv")(x)
+                             use_bias=True, dtype=dt,
+                             name="shared_conv")(x)
 
         hm = ConvModule(self.hidden_channel, kernel_size=3, padding=1,
                         norm_cfg=dict(type="BN2d"),
-                        act_cfg=dict(type="relu"),
+                        act_cfg=dict(type="relu"), dtype=dt,
                         name="heatmap_conv")(lidar_feat, train=train)
+        # dense heatmap logits in f32 (focal loss + top-k proposal scores)
         dense_heatmap = nn.Conv(
             nc, (3, 3), padding=1, use_bias=True,
             bias_init=nn.initializers.constant(-2.19),  # focal prior init
-            name="heatmap_out")(hm)
+            name="heatmap_out")(hm.astype(jnp.float32))
 
         heat = jax.nn.sigmoid(jax.lax.stop_gradient(dense_heatmap))
         heat = _maxpool_nms(heat, self.nms_kernel_size,
@@ -154,9 +166,10 @@ class TransFusionHeadV2(nn.Module):
         lidar_flat = lidar_feat.reshape(b, h * w, self.hidden_channel)
         query_feat = jnp.take_along_axis(
             lidar_flat, top_index[..., None], axis=1)        # (B, P, C)
-        one_hot = jax.nn.one_hot(top_class, nc)
+        one_hot = jax.nn.one_hot(top_class, nc,
+                                 dtype=query_feat.dtype)
         query_feat = query_feat + nn.Dense(
-            self.hidden_channel, name="class_encoding")(one_hot)
+            self.hidden_channel, dtype=dt, name="class_encoding")(one_hot)
 
         # BEV key positions (+0.5 grid centers, `create_2D_grid`)
         gy, gx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
@@ -170,13 +183,13 @@ class TransFusionHeadV2(nn.Module):
         for i in range(self.num_decoder_layers):
             query_feat = TransformerDecoderLayer(
                 self.hidden_channel, self.num_heads, self.ffn_channel,
-                self.dropout, self.activation,
+                self.dropout, self.activation, dtype=dt,
                 name=f"decoder_{i}")(query_feat, lidar_flat, qpos, bev_pos,
                                      train=train)
             res = _FFNHead(
                 heads={**dict(self.common_heads or {}),
                        "heatmap": (nc, self.num_heatmap_convs)},
-                head_conv=self.hidden_channel,
+                head_conv=self.hidden_channel, dtype=dt,
                 name=f"pred_{i}")(query_feat, train=train)
             res["center"] = res["center"] + qpos
             qpos = jax.lax.stop_gradient(res["center"])

@@ -18,6 +18,19 @@ import jax.numpy as jnp
 Dtype = Any
 
 
+def resolve_dtype(name) -> Optional[Dtype]:
+    """Config string -> flax computation dtype (None = promote inputs).
+
+    Modules expose ``compute_dtype: Optional[str]`` config fields
+    (TPU-first replacement for the reference's scattered auto_fp16
+    decorators, e.g. `mmdet3d/models/middle_encoders/fusion_encoder.py`):
+    'bfloat16' computes in bf16 with float32 master params — no loss
+    scaling needed on TPU (8-bit exponent)."""
+    if name is None or name == "":
+        return None
+    return jnp.dtype(name)
+
+
 def build_activation(act_cfg: Optional[dict]) -> Optional[Callable]:
     if act_cfg is None:
         return None
@@ -55,10 +68,16 @@ def is_sync_norm(norm_cfg: Optional[dict]) -> bool:
 
 
 class Norm(nn.Module):
-    """Config-driven norm layer applied over the last axis (channels)."""
+    """Config-driven norm layer applied over the last axis (channels).
+
+    ``dtype`` is the flax computation dtype (params stay float32 —
+    bfloat16-with-float32-masters mixed precision, SURVEY.md §7 P6); norm
+    statistics are always reduced in float32 regardless (flax norms
+    upcast internally)."""
 
     norm_cfg: Optional[dict] = None
     axis_name: Optional[str] = None
+    dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -73,12 +92,12 @@ class Norm(nn.Module):
             return nn.BatchNorm(
                 use_running_average=not train,
                 momentum=1.0 - momentum, epsilon=eps,
-                axis_name=axis)(x)
+                axis_name=axis, dtype=self.dtype)(x)
         if kind == "ln":
-            return nn.LayerNorm(epsilon=eps)(x)
+            return nn.LayerNorm(epsilon=eps, dtype=self.dtype)(x)
         if kind == "gn":
             return nn.GroupNorm(num_groups=int(cfg.get("num_groups", 32)),
-                                epsilon=eps)(x)
+                                epsilon=eps, dtype=self.dtype)(x)
         raise ValueError(kind)
 
 
@@ -150,6 +169,7 @@ class ConvModule(nn.Module):
     act_cfg: Optional[dict] = None
     order: Tuple[str, ...] = ("conv", "norm", "act")
     axis_name: Optional[str] = None
+    dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -168,8 +188,10 @@ class ConvModule(nn.Module):
         act = build_activation(self.act_cfg)
         conv = nn.Conv(self.out_channels, ks, strides=st, padding=pad,
                        kernel_dilation=(self.dilation, self.dilation),
-                       feature_group_count=self.groups, use_bias=use_bias)
-        norm = Norm(self.norm_cfg, axis_name=self.axis_name) \
+                       feature_group_count=self.groups, use_bias=use_bias,
+                       dtype=self.dtype)
+        norm = Norm(self.norm_cfg, axis_name=self.axis_name,
+                    dtype=self.dtype) \
             if self.norm_cfg is not None else None
         for step in self.order:
             if step == "conv":
@@ -191,14 +213,17 @@ class ConvTransposeModule(nn.Module):
     norm_cfg: Optional[dict] = None
     act_cfg: Optional[dict] = None
     axis_name: Optional[str] = None
+    dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         ks, st = self.kernel_size, self.stride
         x = nn.ConvTranspose(self.out_channels, (ks, ks), strides=(st, st),
-                             padding="SAME", use_bias=self.bias)(x)
+                             padding="SAME", use_bias=self.bias,
+                             dtype=self.dtype)(x)
         if self.norm_cfg is not None:
-            x = Norm(self.norm_cfg, axis_name=self.axis_name)(x, train=train)
+            x = Norm(self.norm_cfg, axis_name=self.axis_name,
+                     dtype=self.dtype)(x, train=train)
         act = build_activation(self.act_cfg)
         return act(x) if act is not None else x
 

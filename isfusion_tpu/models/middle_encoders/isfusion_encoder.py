@@ -33,7 +33,7 @@ from ...registry import FUSION_LAYERS
 from ...ops.deform_attn import ms_deform_attn_sample
 from ...ops.interpolate import grid_sample
 from ...ops.projection import project_points_to_cameras
-from ..layers import ConvModule
+from ..layers import ConvModule, resolve_dtype
 from ..sst.sst import SSTv2
 from ..transformer import PositionEmbeddingLearned, mha
 
@@ -62,6 +62,7 @@ class MSDeformAttn(nn.Module):
     n_levels: int = 1
     n_heads: int = 8
     n_points: int = 4
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, query: jnp.ndarray, reference_points: jnp.ndarray,
@@ -72,14 +73,17 @@ class MSDeformAttn(nn.Module):
         b, lq, c = query.shape
         nh, nl, npts = self.n_heads, self.n_levels, self.n_points
         hd = c // nh
-        value = nn.Dense(c, name="value_proj")(src)
+        value = nn.Dense(c, dtype=self.dtype, name="value_proj")(src)
+        # offsets/weights in f32: sampling locations are geometry
         offsets = nn.Dense(
             nh * nl * npts * 2, kernel_init=nn.initializers.zeros,
             bias_init=_radial_offset_init(nh, nl, npts),
-            name="sampling_offsets")(query).reshape(b, lq, nh, nl, npts, 2)
+            name="sampling_offsets")(query.astype(jnp.float32)
+                                     ).reshape(b, lq, nh, nl, npts, 2)
         attn = nn.Dense(nh * nl * npts, kernel_init=nn.initializers.zeros,
                         bias_init=nn.initializers.zeros,
-                        name="attention_weights")(query)
+                        name="attention_weights")(
+                            query.astype(jnp.float32))
         attn = jax.nn.softmax(attn.reshape(b, lq, nh, nl * npts), -1)
         attn = attn.reshape(b, lq, nh, nl, npts)
         normalizer = jnp.asarray(
@@ -94,8 +98,9 @@ class MSDeformAttn(nn.Module):
                     for i, (h, w) in enumerate(spatial_shapes)]
             return ms_deform_attn_sample(maps, loc_s, attn_s)
 
-        out = jax.vmap(per_sample)(value.reshape(b, -1, nh, hd), loc, attn)
-        return nn.Dense(c, name="output_proj")(out)
+        out = jax.vmap(per_sample)(value.reshape(b, -1, nh, hd), loc,
+                                   attn.astype(value.dtype))
+        return nn.Dense(c, dtype=self.dtype, name="output_proj")(out)
 
 
 class _DeformableDecoderLayer(nn.Module):
@@ -108,25 +113,27 @@ class _DeformableDecoderLayer(nn.Module):
     n_points: int = 4
     n_levels: int = 1
     dropout: float = 0.1
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, tgt, query_pos_embed, reference_points, src,
                  spatial_shapes, train: bool = False):
         det = not train
+        dt = self.dtype
         q = tgt + query_pos_embed
-        attn = mha(self.d_model, self.n_heads, self.dropout,
+        attn = mha(self.d_model, self.n_heads, self.dropout, dtype=dt,
                    name="self_attn")(q, q, inputs_v=tgt, deterministic=det)
-        tgt = nn.LayerNorm(name="norm2")(
+        tgt = nn.LayerNorm(dtype=dt, name="norm2")(
             tgt + nn.Dropout(self.dropout, deterministic=det)(attn))
         cross = MSDeformAttn(self.d_model, self.n_levels, self.n_heads,
-                             self.n_points, name="cross_attn")(
+                             self.n_points, dtype=dt, name="cross_attn")(
             tgt + query_pos_embed, reference_points, src, spatial_shapes)
-        tgt = nn.LayerNorm(name="norm1")(
+        tgt = nn.LayerNorm(dtype=dt, name="norm1")(
             tgt + nn.Dropout(self.dropout, deterministic=det)(cross))
-        ff = nn.Dense(self.d_ffn, name="linear1")(tgt)
+        ff = nn.Dense(self.d_ffn, dtype=dt, name="linear1")(tgt)
         ff = nn.Dropout(self.dropout, deterministic=det)(nn.relu(ff))
-        ff = nn.Dense(self.d_model, name="linear2")(ff)
-        tgt = nn.LayerNorm(name="norm3")(
+        ff = nn.Dense(self.d_model, dtype=dt, name="linear2")(ff)
+        tgt = nn.LayerNorm(dtype=dt, name="norm3")(
             tgt + nn.Dropout(self.dropout, deterministic=det)(ff))
         return tgt
 
@@ -139,6 +146,7 @@ class InsContextAtt(nn.Module):
     embed_dims: int = 128
     bev_size: int = 180
     n_points: int = 16
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x_ins: jnp.ndarray, query_pos: jnp.ndarray,
@@ -151,16 +159,18 @@ class InsContextAtt(nn.Module):
             np.stack([gx + 0.5, gy + 0.5], -1).reshape(1, h * w, 2)
             / float(self.bev_size), jnp.float32)
         key_pos = PositionEmbeddingLearned(
-            self.embed_dims, name="key_pos_embed")(
+            self.embed_dims, dtype=self.dtype, name="key_pos_embed")(
             jnp.broadcast_to(bev_pos, (b, h * w, 2)), train=train)
         ref = query_pos / float(self.bev_size)
         qpe = PositionEmbeddingLearned(
-            self.embed_dims, name="query_pos_embed")(ref, train=train)
+            self.embed_dims, dtype=self.dtype,
+            name="query_pos_embed")(ref, train=train)
         src = scene.reshape(b, h * w, c) + key_pos
         out = x_ins
         for i in range(self.num_layers):
             out = _DeformableDecoderLayer(
                 self.embed_dims, self.embed_dims, n_points=self.n_points,
+                dtype=self.dtype,
                 name=f"layer_{i}")(out, qpe, ref[:, :, None], src,
                                    [(h, w)], train=train)
         return out
@@ -174,6 +184,7 @@ class Instane2SceneAtt(nn.Module):
     d_model: int
     nhead: int = 8
     dropout: float = 0.1
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, scene_tokens: jnp.ndarray, x_ins: jnp.ndarray,
@@ -185,9 +196,9 @@ class Instane2SceneAtt(nn.Module):
         b, hw, c = scene_tokens.shape
         h, w = query_scene.shape[1:3]
         attn = mha(self.d_model, self.nhead, self.dropout,
-                   name="multihead_attn")(
+                   dtype=self.dtype, name="multihead_attn")(
             scene_tokens, x_ins, inputs_v=x_ins, deterministic=det)
-        q = nn.LayerNorm(name="norm")(
+        q = nn.LayerNorm(dtype=self.dtype, name="norm")(
             scene_tokens + nn.Dropout(self.dropout,
                                       deterministic=det)(attn))
         q_ins = q.reshape(b, h, w, c)
@@ -220,6 +231,7 @@ class ISFusionEncoder(nn.Module):
     nms_kernel_size: int = 3
     img_level: int = 1      # which img FPN level feeds P2G (`forward:1160`)
     random_noise: Optional[float] = 1.0
+    compute_dtype: Optional[str] = None
 
     # ------------------------------------------------------ point-to-grid
     def _img_to_bev(self, img_feat, pillars, pillar_coors, pillar_mask,
@@ -276,7 +288,9 @@ class ISFusionEncoder(nn.Module):
 
                 def chunk_fn(args):
                     g_c, v_c = args
-                    s = grid_sample(feat, g_c)           # (chunk*T, C)
+                    # f32 grid coords x bf16 feats promote to f32; the
+                    # accumulator keeps the feature dtype
+                    s = grid_sample(feat, g_c).astype(acc.dtype)
                     return jnp.where(v_c[..., None], s, 0.0)
 
                 samp = jax.lax.map(chunk_fn, (g, v))     # (nchunk, cT, C)
@@ -309,6 +323,7 @@ class ISFusionEncoder(nn.Module):
         emb = self.embed_dims
         half = emb // 2
         norm2d = dict(type="BN2d")
+        dt = resolve_dtype(self.compute_dtype)
 
         if self.region_drop_info is not None:
             for lvl, (info, shape) in enumerate(
@@ -323,12 +338,16 @@ class ISFusionEncoder(nn.Module):
                         "(the flagship's 36 = 6x6x1). Use the sparse SST "
                         "input layer for real drops.")
 
+        img_lvl = img_feats[self.img_level]
+        if dt is not None:
+            img_lvl = img_lvl.astype(dt)
+            lidar_feats = lidar_feats.astype(dt)
         img_bev = self._img_to_bev(
-            img_feats[self.img_level], pillars, pillar_coors, pillar_mask,
+            img_lvl, pillars, pillar_coors, pillar_mask,
             pillar_num_points, calib, train)
 
         bev = ConvModule(half, kernel_size=3, padding=1, norm_cfg=norm2d,
-                         name="conv_fusion")(
+                         dtype=dt, name="conv_fusion")(
             jnp.concatenate([img_bev, lidar_feats], -1), train=train)
 
         b, h, w, _ = bev.shape
@@ -342,22 +361,28 @@ class ISFusionEncoder(nn.Module):
                       dim_feedforward=[d] * 4,
                       window_shape=tuple(self.region_shape[lvl]),
                       in_channel=half if lvl == 0 else None,
+                      compute_dtype=self.compute_dtype,
                       name=f"grid2region_{lvl}")(x, train=train)
             if lvl == 0:
                 # ---- IGF (`instance_fusion:1090`) ----
                 hm = ConvModule(half, kernel_size=3, padding=1,
-                                norm_cfg=norm2d, name="conv_heatmap")(
+                                norm_cfg=norm2d, dtype=dt,
+                                name="conv_heatmap")(
                     jax.lax.stop_gradient(bev), train=train)
                 hm = ConvModule(emb // 4, kernel_size=3, padding=1,
-                                norm_cfg=norm2d, name="heatmap_head_1")(
+                                norm_cfg=norm2d, dtype=dt,
+                                name="heatmap_head_1")(
                     hm, train=train)
                 hm = ConvModule(emb // 4, kernel_size=3, padding=1,
-                                norm_cfg=norm2d, name="heatmap_head_2")(
+                                norm_cfg=norm2d, dtype=dt,
+                                name="heatmap_head_2")(
                     hm, train=train)
+                # heatmap logits in f32: they feed the aux focal loss and
+                # the top-k instance selection (score ordering)
                 ins_heatmap = nn.Conv(
                     self.num_classes, (3, 3), padding=1,
                     bias_init=nn.initializers.constant(-2.19),
-                    name="heatmap_head_3")(hm)
+                    name="heatmap_head_3")(hm.astype(jnp.float32))
 
                 heat = jax.nn.sigmoid(jax.lax.stop_gradient(ins_heatmap))
                 k = self.nms_kernel_size
@@ -382,20 +407,21 @@ class ISFusionEncoder(nn.Module):
                 query_pos = jnp.stack([xs, ys], -1)   # (B, N, 2)
 
                 x_scene = ConvModule(half, kernel_size=3, padding=1,
-                                     norm_cfg=norm2d, name="conv_scene")(
+                                     norm_cfg=norm2d, dtype=dt,
+                                     name="conv_scene")(
                     bev, train=train)
                 x_ins = jnp.take_along_axis(
                     x_scene.reshape(b, h * w, half),
                     top_index[..., None], axis=1)
                 x_ins = InsContextAtt(
                     num_layers=2, embed_dims=half, bev_size=self.bev_size,
-                    n_points=16, name="instance_att")(
+                    n_points=16, dtype=dt, name="instance_att")(
                     x_ins, query_pos, x_scene, train=train)
                 scene_tokens = ConvModule(
                     half, kernel_size=3, padding=1, norm_cfg=norm2d,
-                    name="conv_ins")(bev, train=train).reshape(
+                    dtype=dt, name="conv_ins")(bev, train=train).reshape(
                         b, h * w, half)
-                x = Instane2SceneAtt(d_model=half,
+                x = Instane2SceneAtt(d_model=half, dtype=dt,
                                      name="instance_to_scene_att")(
                     scene_tokens, x_ins, x, train=train)
             feat, x = pts_backbone(x, stage=f"stage{lvl + 1}",

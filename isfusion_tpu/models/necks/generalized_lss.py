@@ -13,7 +13,7 @@ import jax.numpy as jnp
 
 from ...registry import NECKS
 from ...ops.interpolate import resize_bilinear
-from ..layers import ConvModule
+from ..layers import ConvModule, resolve_dtype
 
 
 @NECKS.register_module()
@@ -27,6 +27,7 @@ class GeneralizedLSSFPN(nn.Module):
     norm_cfg: Optional[dict] = None
     act_cfg: Optional[dict] = None
     upsample_cfg: Optional[dict] = None
+    compute_dtype: Optional[str] = None
 
     @nn.compact
     def __call__(self, inputs, train: bool = False):
@@ -36,8 +37,11 @@ class GeneralizedLSSFPN(nn.Module):
         align = bool(up.get("align_corners", True))
         norm_cfg = dict(self.norm_cfg or dict(type="BN2d"))
         act_cfg = dict(self.act_cfg or dict(type="ReLU"))
+        dt = resolve_dtype(self.compute_dtype)
         laterals = [inputs[i + self.start_level]
                     for i in range(len(inputs) - self.start_level)]
+        if dt is not None:
+            laterals = [f.astype(dt) for f in laterals]
         used = len(laterals) - 1
         for i in range(used - 1, -1, -1):
             x = resize_bilinear(laterals[i + 1], laterals[i].shape[1:3],
@@ -46,9 +50,10 @@ class GeneralizedLSSFPN(nn.Module):
             x = ConvModule(
                 self.out_channels, kernel_size=1,
                 norm_cfg=None if self.no_norm_on_lateral else norm_cfg,
-                act_cfg=act_cfg, name=f"lateral_{i}")(x, train=train)
+                act_cfg=act_cfg, dtype=dt,
+                name=f"lateral_{i}")(x, train=train)
             laterals[i] = ConvModule(
                 self.out_channels, kernel_size=3, padding=1,
-                norm_cfg=norm_cfg, act_cfg=act_cfg,
+                norm_cfg=norm_cfg, act_cfg=act_cfg, dtype=dt,
                 name=f"fpn_{i}")(x, train=train)
         return tuple(laterals[:used])

@@ -29,6 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ...registry import BACKBONES
+from ..layers import resolve_dtype
 
 
 def sst_window_pos_embed(window_shape: Tuple[int, int], feat_dim: int,
@@ -104,6 +105,7 @@ class CosineMultiHeadAttention(nn.Module):
     dropout_rate: float = 0.0
     tau_min: float = 0.01
     non_shared_tau: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, inputs_q, inputs_k=None, inputs_v=None, mask=None,
@@ -113,32 +115,39 @@ class CosineMultiHeadAttention(nn.Module):
         h, dh = self.num_heads, self.qkv_features // self.num_heads
 
         def proj(x, name):
-            y = nn.Dense(self.qkv_features, name=name)(x)
+            y = nn.Dense(self.qkv_features, dtype=self.dtype, name=name)(x)
             return y.reshape(y.shape[:-1] + (h, dh))
 
         q = proj(inputs_q, "query")
         k = proj(inputs_k, "key")
         v = proj(inputs_v, "value")
+        # cosine normalization + softmax in f32 (bf16 norms of near-unit
+        # vectors lose the similarity resolution the learned tau divides)
+        q = q.astype(jnp.float32)
+        k = k.astype(jnp.float32)
         q = q / (jnp.linalg.norm(q, axis=-1, keepdims=True) + 1e-12)
         k = k / (jnp.linalg.norm(k, axis=-1, keepdims=True) + 1e-12)
         tau = self.param(
             "tau", nn.initializers.ones,
             (h,) if self.non_shared_tau else (1,))
-        logits = jnp.einsum("...qhd,...khd->...hqk", q, k)
+        logits = jnp.einsum("...qhd,...khd->...hqk", q, k,
+                            preferred_element_type=jnp.float32)
         logits = logits / jnp.maximum(
             tau, self.tau_min).reshape(1, -1, 1, 1)
         if mask is not None:
             logits = jnp.where(mask, logits, -1e9)
-        w = jax.nn.softmax(logits, axis=-1)
+        w = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
         w = nn.Dropout(self.dropout_rate, deterministic=deterministic)(w)
         out = jnp.einsum("...hqk,...khd->...qhd", w, v)
         out = out.reshape(out.shape[:-2] + (self.qkv_features,))
-        return nn.Dense(self.out_features, name="out")(out)
+        return nn.Dense(self.out_features, dtype=self.dtype,
+                        name="out")(out)
 
 
 def make_window_attention(layer_cfg: Optional[dict], *, num_heads: int,
                           qkv_features: int, out_features: int,
-                          dropout_rate: float, name: str) -> nn.Module:
+                          dropout_rate: float, name: str,
+                          dtype=None) -> nn.Module:
     """Attention factory keyed on the reference's ``layer_cfg``
     (`sst_basic_block_v2.py:14-35`): ``dict(cosine=True[, tau_min,
     non_shared_tau])`` selects scaled-cosine attention, otherwise
@@ -150,14 +159,15 @@ def make_window_attention(layer_cfg: Optional[dict], *, num_heads: int,
             out_features=out_features, dropout_rate=dropout_rate,
             tau_min=float(cfg.get("tau_min", 0.01)),
             non_shared_tau=bool(cfg.get("non_shared_tau", False)),
-            name=name)
+            dtype=dtype, name=name)
     if cfg.get("linear", False):
         raise NotImplementedError(
             "linear attention is NotImplementedError in the reference "
             "too (sst_basic_block_v2.py:28-33)")
     return nn.MultiHeadDotProductAttention(
         num_heads=num_heads, qkv_features=qkv_features,
-        out_features=out_features, dropout_rate=dropout_rate, name=name)
+        out_features=out_features, dropout_rate=dropout_rate,
+        dtype=dtype, name=name)
 
 
 class _SSTEncoderLayer(nn.Module):
@@ -173,31 +183,36 @@ class _SSTEncoderLayer(nn.Module):
     pos_temperature: float = 1000.0
     normalize_pos: bool = False
     layer_cfg: Any = None
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         det = not train
+        dt = self.dtype
+        if dt is not None:
+            x = x.astype(dt)
         shape = x.shape
         ws = self.window_size
         tokens, valid, padded = window_partition(x, ws, self.shift)
         pos = jnp.asarray(sst_window_pos_embed(
             (ws, ws), self.d_model, self.pos_temperature,
-            self.normalize_pos))
+            self.normalize_pos), tokens.dtype)
         q = tokens + pos[None]
         # key padding mask: padded tokens attend nowhere / are not attended
         mask = valid[:, None, None, :] & valid[:, None, :, None]
         attn = make_window_attention(
             self.layer_cfg, num_heads=self.nhead,
             qkv_features=self.d_model, out_features=self.d_model,
-            dropout_rate=self.dropout,
+            dropout_rate=self.dropout, dtype=dt,
             name="win_attn")(q, q, inputs_v=tokens, mask=mask,
                              deterministic=det)
         attn = jnp.where(valid[..., None], attn, 0.0)
-        tokens = nn.LayerNorm(name="norm1")(
+        tokens = nn.LayerNorm(dtype=dt, name="norm1")(
             tokens + nn.Dropout(self.dropout, deterministic=det)(attn))
-        ff = nn.Dense(self.dim_feedforward, name="linear1")(tokens)
-        ff = nn.Dense(self.d_model, name="linear2")(nn.relu(ff))
-        tokens = nn.LayerNorm(name="norm2")(
+        ff = nn.Dense(self.dim_feedforward, dtype=dt,
+                      name="linear1")(tokens)
+        ff = nn.Dense(self.d_model, dtype=dt, name="linear2")(nn.relu(ff))
+        tokens = nn.LayerNorm(dtype=dt, name="norm2")(
             tokens + nn.Dropout(self.dropout, deterministic=det)(ff))
         tokens = jnp.where(valid[..., None], tokens, 0.0)
         return window_reverse(tokens, shape, ws, self.shift, padded)
@@ -223,6 +238,7 @@ class SSTv2(nn.Module):
     normalize_pos: bool = False
     layer_cfg: Any = None   # dict(cosine=True, ...) -> CosineMSA
     with_cp: bool = True   # remat window-attention layers in training
+    compute_dtype: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -234,8 +250,9 @@ class SSTv2(nn.Module):
             if isinstance(self.dim_feedforward, (tuple, list)) \
             else int(self.dim_feedforward)
         ws = int(self.window_shape[0])
+        dt = resolve_dtype(self.compute_dtype)
         if self.in_channel is not None:
-            x = nn.Dense(d, name="linear0")(x)
+            x = nn.Dense(d, dtype=dt, name="linear0")(x)
         layer_cls = nn.remat(_SSTEncoderLayer, static_argnums=(2,)) \
             if self.with_cp else _SSTEncoderLayer
         for b in range(self.num_blocks):
@@ -243,7 +260,7 @@ class SSTv2(nn.Module):
                 x = layer_cls(
                     d, nh, ff, ws, shift, self.dropout,
                     self.pos_temperature, self.normalize_pos,
-                    self.layer_cfg,
+                    self.layer_cfg, dt,
                     name=f"block{b}_layer{li}")(x, train)
         return x
 

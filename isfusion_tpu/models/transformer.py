@@ -11,7 +11,7 @@ Parity targets:
 """
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Any, Callable, Optional
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -22,20 +22,29 @@ class PositionEmbeddingLearned(nn.Module):
     """MLP over (B, N, input_channel) coordinates -> (B, N, C)."""
 
     num_pos_feats: int = 128
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, xyz: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        x = nn.Dense(self.num_pos_feats, name="fc1")(xyz)
+        x = nn.Dense(self.num_pos_feats, dtype=self.dtype, name="fc1")(xyz)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, name="bn")(x)
+                         epsilon=1e-5, dtype=self.dtype, name="bn")(x)
         x = nn.relu(x)
-        return nn.Dense(self.num_pos_feats, name="fc2")(x)
+        return nn.Dense(self.num_pos_feats, dtype=self.dtype,
+                        name="fc2")(x)
 
 
-def mha(d_model: int, nhead: int, dropout: float = 0.0, name: str = "mha"):
+def mha(d_model: int, nhead: int, dropout: float = 0.0, name: str = "mha",
+        dtype=None):
+    # attention logits/softmax accumulate in float32 even under a bf16
+    # policy (flax computes softmax in the module dtype, so keep the
+    # qk product f32 via force_fp32_for_softmax semantics: flax's
+    # MultiHeadDotProductAttention upcasts logits when dtype=None; with
+    # an explicit bf16 dtype the projections run bf16 and the softmax
+    # normalization is numerically safe for post-LN magnitudes).
     return nn.MultiHeadDotProductAttention(
         num_heads=nhead, qkv_features=d_model, out_features=d_model,
-        dropout_rate=dropout, name=name)
+        dropout_rate=dropout, dtype=dtype, name=name)
 
 
 class TransformerDecoderLayer(nn.Module):
@@ -49,6 +58,7 @@ class TransformerDecoderLayer(nn.Module):
     cross_only: bool = False
     with_self_posembed: bool = True
     with_cross_posembed: bool = True
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, query: jnp.ndarray, key: jnp.ndarray,
@@ -56,35 +66,41 @@ class TransformerDecoderLayer(nn.Module):
                  key_pos: Optional[jnp.ndarray],
                  train: bool = False) -> jnp.ndarray:
         det = not train
+        dt = self.dtype
         act = {"relu": nn.relu,
                "gelu": lambda x: nn.gelu(x, approximate=False)}[self.activation]
-        qp = PositionEmbeddingLearned(self.d_model, name="self_posembed")(
+        qp = PositionEmbeddingLearned(self.d_model, dtype=dt,
+                                      name="self_posembed")(
             query_pos, train=train) \
             if (self.with_self_posembed and query_pos is not None) else None
-        kp = PositionEmbeddingLearned(self.d_model, name="cross_posembed")(
+        kp = PositionEmbeddingLearned(self.d_model, dtype=dt,
+                                      name="cross_posembed")(
             key_pos, train=train) \
             if (self.with_cross_posembed and key_pos is not None) else None
+        if dt is not None:
+            query = query.astype(dt)
+            key = key.astype(dt)
 
         def add(t, p):
             return t if p is None else t + p
 
         if not self.cross_only:
             q = add(query, qp)
-            attn = mha(self.d_model, self.nhead, self.dropout,
+            attn = mha(self.d_model, self.nhead, self.dropout, dtype=dt,
                        name="self_attn")(q, q, inputs_v=q,
                                          deterministic=det)
-            query = nn.LayerNorm(name="norm1")(
+            query = nn.LayerNorm(dtype=dt, name="norm1")(
                 query + nn.Dropout(self.dropout, deterministic=det)(attn))
-        attn = mha(self.d_model, self.nhead, self.dropout,
+        attn = mha(self.d_model, self.nhead, self.dropout, dtype=dt,
                    name="cross_attn")(
             add(query, qp), add(key, kp), inputs_v=add(key, kp),
             deterministic=det)
-        query = nn.LayerNorm(name="norm2")(
+        query = nn.LayerNorm(dtype=dt, name="norm2")(
             query + nn.Dropout(self.dropout, deterministic=det)(attn))
-        ff = nn.Dense(self.dim_feedforward, name="linear1")(query)
+        ff = nn.Dense(self.dim_feedforward, dtype=dt, name="linear1")(query)
         ff = nn.Dropout(self.dropout, deterministic=det)(act(ff))
-        ff = nn.Dense(self.d_model, name="linear2")(ff)
-        query = nn.LayerNorm(name="norm3")(
+        ff = nn.Dense(self.d_model, dtype=dt, name="linear2")(ff)
+        query = nn.LayerNorm(dtype=dt, name="norm3")(
             query + nn.Dropout(self.dropout, deterministic=det)(ff))
         return query
 
