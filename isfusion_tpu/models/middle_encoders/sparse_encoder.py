@@ -26,6 +26,9 @@ from ...ops.sparse_cols import (ColumnGrid, build_column_grid,
                                 column_to_dense, dilate_columns,
                                 sparse_conv_col, sparse_conv_col_dil,
                                 subm_conv_col_dil, zconv_col)
+from ...ops.sparse_win import (WinGrid, build_win_grid, sparse_conv_win,
+                               subm_conv_win, to_common_frame,
+                               win_rulebook, win_to_dense, zconv_win)
 from ..layers import MaskedBatchNorm, is_sync_norm
 
 
@@ -56,17 +59,20 @@ class _SparseConvModule(nn.Module):
     norm_cfg: Optional[dict] = None
     with_act: bool = True
     axis_name: Optional[str] = None
+    z_total: int = 0          # window engine: input grid's global z
+    out_window: int = 0       # window engine: strided output width
 
     @nn.compact
-    def __call__(self, cg: ColumnGrid, train: bool = False,
-                 rulebook=None) -> ColumnGrid:
+    def __call__(self, cg, train: bool = False, rulebook=None):
         cin = cg.feats.shape[-1]
         w = self.param(
             "kernel",
             nn.initializers.variance_scaling(1.0, "fan_in", "normal"),
             tuple(self.kernel_size) + (cin, self.out_channels), jnp.float32)
         bev = cg.bev
-        if self.conv_type == "SubMConv3d":
+        if isinstance(cg, WinGrid):
+            out = self._win_conv(cg, w, rulebook)
+        elif self.conv_type == "SubMConv3d":
             assert rulebook is not None, \
                 "subm convs run on a dilated grid (see _vmap_dilate)"
             # remat: regather neighbors in backward instead of keeping the
@@ -101,7 +107,7 @@ class _SparseConvModule(nn.Module):
                     g, ww, stride, pad, out_cap), cg.replace(feats=f)))(
                         cg.feats, w)
         x = out.feats
-        if self.norm_cfg is not None:
+        if self.norm_cfg is not None:  # noqa: SIM108  (shared tail)
             cfg = dict(self.norm_cfg)
             x = MaskedBatchNorm(
                 momentum=float(cfg.get("momentum", 0.01)),
@@ -112,6 +118,32 @@ class _SparseConvModule(nn.Module):
             x = nn.relu(x)
         x = jnp.where(out.zmask[..., None], x, 0.0).astype(cg.feats.dtype)
         return out.replace(feats=x)
+
+    def _win_conv(self, cg: WinGrid, w, rulebook) -> WinGrid:
+        """Window-engine conv dispatch (same semantics as the column
+        branches; see ops/sparse_win.py)."""
+        if self.conv_type == "SubMConv3d":
+            assert rulebook is not None, "subm convs need a win_rulebook"
+            feats = jax.checkpoint(lambda f, ww: jax.vmap(
+                lambda g, rs, rf, rd: subm_conv_win(g, ww, (rs, rf, rd)))(
+                    cg.replace(feats=f), *rulebook))(cg.feats, w)
+            return cg.replace(feats=feats)
+        if tuple(self.kernel_size)[1:] == (1, 1):
+            sz = self.stride[0] if isinstance(self.stride,
+                                              (tuple, list)) else self.stride
+            pz = _pad3(self.padding)[0]
+            return jax.vmap(
+                lambda g: zconv_win(g, w, int(sz), pz))(cg)
+        stride = _pad3(self.stride)
+        pad = _pad3(self.padding)
+        out_cap = self.out_cap or cg.feats.shape[1]
+        # spread = full z extent: strided downsamples merge columns whose
+        # windows can sit arbitrarily far apart, so the gathered frame
+        # covers everything (EXACT, no drop) — only the few strided convs
+        # pay the wider frame; the dominant subm convs stay windowed
+        return jax.vmap(lambda g: sparse_conv_win(
+            g, w, stride, pad, out_cap, z_total=self.z_total,
+            out_window=self.out_window, spread=self.z_total))(cg)
 
 
 class _SparseBasicBlock(nn.Module):
@@ -164,6 +196,14 @@ class SparseEncoder(nn.Module):
     compute_dtype: str = "float32"  # 'bfloat16' halves gather traffic
     z_pad_to: int = 8   # lane-aligned gather rows (see build_column_grid)
     axis_name: Optional[str] = None
+    # engine='window': z-windowed columns (ops/sparse_win.py) — per-column
+    # z windows instead of the full z extent (median active span is 1-4
+    # cells vs 41 stored), active-table-only convs (no x-dilation, so no
+    # dilation-capacity truncation), K=9*Cin im2col convs. win_widths are
+    # the per-stage window widths (entry 0 = build + stage 1).
+    engine: str = "columns"
+    win_widths: Sequence[int] = (16, 16, 16, 12)
+    win_align: int = 8
 
     @nn.compact
     def __call__(self, voxel_features: jnp.ndarray, coors: jnp.ndarray,
@@ -183,9 +223,18 @@ class SparseEncoder(nn.Module):
         def dil_cap_for(stage: int) -> int:
             return max(int(cap_for(stage) * self.dilation_ratio) // 8 * 8, 8)
 
-        cg = jax.vmap(lambda f, c, m: build_column_grid(
-            f, c, m, grid, cap_for(0),
-            z_pad_to=self.z_pad_to))(voxel_features, coors, voxel_mask)
+        win = self.engine == "window"
+        if win:
+            widths = tuple(int(x) for x in self.win_widths)
+            cg = jax.vmap(lambda f, c, m: build_win_grid(
+                f, c, m, grid, cap_for(0), widths[0],
+                align=int(self.win_align)))(voxel_features, coors,
+                                            voxel_mask)
+            rulebook = jax.vmap(win_rulebook)(cg)
+        else:
+            cg = jax.vmap(lambda f, c, m: build_column_grid(
+                f, c, m, grid, cap_for(0),
+                z_pad_to=self.z_pad_to))(voxel_features, coors, voxel_mask)
         # logical z extent (the unpadded reference arithmetic): pad cells
         # ride along masked-off until the slice before conv_out, so the
         # dense BEV keeps the reference's exact C_out * nz_out channels
@@ -194,7 +243,8 @@ class SparseEncoder(nn.Module):
         # each stage's subm convs run on the x-dilated column table; the
         # dilation + y-rulebook are rebuilt only after a strided conv
         # changes the BEV footprint (spconv indice_key reuse semantics).
-        cg, rulebook = _vmap_dilate(cg, dil_cap_for(0))
+        if not win:
+            cg, rulebook = _vmap_dilate(cg, dil_cap_for(0))
         # block-level remat: each residual block's z-dense activations are
         # ~365 MB at stage-0 scale; saving every conv output OOMs the
         # 16 GB chip for the train step. nn.remat keeps only block inputs
@@ -222,9 +272,15 @@ class SparseEncoder(nn.Module):
                         out_ch, stride=(2, 2, 2), padding=pad,
                         conv_type="SparseConv3d", out_cap=cap_for(i),
                         norm_cfg=norm_cfg, axis_name=self.axis_name,
+                        z_total=z_log,
+                        out_window=widths[min(i, len(widths) - 1)]
+                        if win else 0,
                         name=name)(cg, train=train)
-                    cg, rulebook = _vmap_dilate(cg, dil_cap_for(i))
                     z_log = (z_log + 2 * pad[0] - 3) // 2 + 1
+                    if win:
+                        rulebook = jax.vmap(win_rulebook)(cg)
+                    else:
+                        cg, rulebook = _vmap_dilate(cg, dil_cap_for(i))
                 elif self.block_type == "basicblock":
                     if j == len(blocks) - 1 and \
                             i != len(self.encoder_channels) - 1:
@@ -232,9 +288,16 @@ class SparseEncoder(nn.Module):
                             out_ch, stride=(2, 2, 2), padding=pad,
                             conv_type="SparseConv3d", out_cap=cap_for(i + 1),
                             norm_cfg=norm_cfg, axis_name=self.axis_name,
+                            z_total=z_log,
+                            out_window=widths[min(i + 1, len(widths) - 1)]
+                            if win else 0,
                             name=name)(cg, train=train)
-                        cg, rulebook = _vmap_dilate(cg, dil_cap_for(i + 1))
                         z_log = (z_log + 2 * pad[0] - 3) // 2 + 1
+                        if win:
+                            rulebook = jax.vmap(win_rulebook)(cg)
+                        else:
+                            cg, rulebook = _vmap_dilate(cg,
+                                                        dil_cap_for(i + 1))
                     else:
                         if in_ch != out_ch:
                             cg = _SparseConvModule(
@@ -254,7 +317,11 @@ class SparseEncoder(nn.Module):
                 in_ch = out_ch
             encode_features.append(cg)
 
-        if cg.feats.shape[2] != z_log:   # drop masked z-pad cells so the
+        if win:
+            # expand windows into the common [0, z_log) frame for the
+            # z-only conv_out and the dense scatter
+            cg = jax.vmap(lambda g: to_common_frame(g, z_log))(cg)
+        elif cg.feats.shape[2] != z_log:  # drop masked z-pad cells so the
             cg = cg.replace(feats=cg.feats[:, :, :z_log],   # dense BEV has
                             zmask=cg.zmask[:, :, :z_log])   # exact channels
         out = _SparseConvModule(
@@ -266,7 +333,7 @@ class SparseEncoder(nn.Module):
         # (B, ny, nx, Z*C) with out[..., z*C:(z+1)*C] = feats[:, z] —
         # channels-last depth concat, matching the reference's
         # N,C*D,H,W (`sparse_encoder.py:135-137`).
-        dense = _vmap_cols(column_to_dense, out)
+        dense = _vmap_cols(win_to_dense if win else column_to_dense, out)
         if self.return_intermediate:
             return dense, encode_features
         return dense
