@@ -183,9 +183,16 @@ class NuScenesDataset(Custom3DDataset):
         e2g_t = np.asarray(info["ego2global_translation"], np.float64)
         center = e2g_r @ (l2e_r @ center + l2e_t) + e2g_t
         rot = e2g_r @ l2e_r
+        # inverse of the info parameterization (stored yaw = -phi - pi/2,
+        # see tools/data_converter/nuscenes_converter.py): recover the
+        # CCW heading phi in lidar, compose with the ego/global rotation,
+        # and emit the standard nuScenes global yaw — matching the
+        # reference's `quat(axis=z, radians=-box_yaw - pi/2)` in
+        # `lidar_nusc_box_to_global` / output_to_nusc_box.
+        phi = -yaw - np.pi / 2
         yaw_g = rot_to_yaw(
-            rot @ np.array([[np.cos(yaw), -np.sin(yaw), 0],
-                            [np.sin(yaw), np.cos(yaw), 0], [0, 0, 1]]))
+            rot @ np.array([[np.cos(phi), -np.sin(phi), 0],
+                            [np.sin(phi), np.cos(phi), 0], [0, 0, 1]]))
         vel_g = e2g_r @ (l2e_r @ vel)
         size_wlh = [float(box[3]), float(box[4]), float(box[5])]  # w, l, h
         return center, size_wlh, yaw_g, vel_g[:2]

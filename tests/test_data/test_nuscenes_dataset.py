@@ -134,6 +134,34 @@ def test_format_and_global_frame(dataset, tmp_path):
     assert abs(first["translation"][0]) > 50
 
 
+def test_global_yaw_roundtrip_matches_converter(dataset):
+    """Contract between tools/data_converter/nuscenes_converter.py and
+    `_box_to_global`: the converter stores lidar yaw = -phi - pi/2 (phi =
+    CCW heading in lidar, the reference's `-rots - pi/2` at
+    `nuscenes_converter.py:299`); the formatter must recover the global
+    CCW heading exactly, for arbitrary ego/lidar z-rotations."""
+    rng = np.random.default_rng(4)
+    for _ in range(10):
+        th_l2e = rng.uniform(-np.pi, np.pi)
+        th_e2g = rng.uniform(-np.pi, np.pi)
+        phi_g = rng.uniform(-np.pi, np.pi)
+        info = dict(
+            lidar2ego_rotation=[np.cos(th_l2e / 2), 0, 0,
+                                np.sin(th_l2e / 2)],
+            lidar2ego_translation=[1.0, -0.5, 1.8],
+            ego2global_rotation=[np.cos(th_e2g / 2), 0, 0,
+                                 np.sin(th_e2g / 2)],
+            ego2global_translation=[100.0, 50.0, 0.0])
+        # converter math: global heading -> lidar heading -> stored yaw
+        phi_l = phi_g - th_l2e - th_e2g
+        stored = -phi_l - np.pi / 2
+        box = np.array([5.0, 2.0, -1.0, 1.9, 4.6, 1.7, stored, 0.1, 0.2],
+                       np.float32)
+        _, _, yaw_g, _ = dataset._box_to_global(info, box)
+        d = (yaw_g - phi_g + np.pi) % (2 * np.pi) - np.pi
+        assert abs(d) < 1e-5
+
+
 def test_internal_eval_perfect_predictions(dataset):
     results = []
     for i in range(len(dataset)):

@@ -144,7 +144,17 @@ def create_nuscenes_infos(root_path: str, info_prefix: str,
                 [box.orientation.w, box.orientation.x, box.orientation.y,
                  box.orientation.z])
             rl = l2e_r.T @ rg
-            yaw = np.arctan2(rl[1, 0], rl[0, 0])
+            # heading angle (CCW standard) in the lidar frame, then the
+            # reference's box parameterization: stored yaw = -phi - pi/2
+            # with dims in (w, l, h) order (`nuscenes_converter.py:299`,
+            # `gt_boxes = [locs, wlh, -rots - pi/2]`) — under the box
+            # stack's clockwise-for-row-vectors corner convention this
+            # puts the w extent across the heading, the l extent along
+            # it. (r3 fix: storing the raw CCW heading made every corner/
+            # containment/IoU computation on real data geometrically
+            # wrong; the synthetic-fixture path parameterizes as
+            # (l, w, h) + CW heading, which is the same geometry.)
+            yaw = -np.arctan2(rl[1, 0], rl[0, 0]) - np.pi / 2
             v = nusc.box_velocity(box.token)[:2]
             vg = np.array([v[0], v[1], 0.0])
             vl = l2e_r.T @ (e2g_r.T @ vg)

@@ -122,10 +122,18 @@ def make_sample(rng, out, split_dir, idx, num_points, img_hw, n_sweeps=3,
         boxes[gi, 2] = -1.8 + ht / 2 + rng.normal(0, 0.05)
         boxes[gi, 3:6] = np.array([l, wd, ht]) * rng.uniform(0.9, 1.1, 3)
         boxes[gi, 6] = rng.uniform(-np.pi, np.pi)
-        # drop object points inside so GT boxes are supported by geometry
+        # drop object points inside so GT boxes are supported by geometry.
+        # The blob is anisotropic (l != w) and ROTATED BY THE BOX YAW with
+        # the box-corner convention (structures.rotation_3d_in_axis:
+        # wx = lx*c + ly*s) — without this the cloud is axis-aligned and
+        # yaw is UNLEARNABLE from the data (r3: uniform pred-GT yaw
+        # residuals, mAOE pinned at pi/2)
         npts = int(rng.integers(20, 400))
-        obj = boxes[gi, :3] + rng.normal(0, 1, (npts, 3)) * \
-            (boxes[gi, 3:6] / 4)
+        local = rng.normal(0, 1, (npts, 3)) * (boxes[gi, 3:6] / 4)
+        c_, s_ = np.cos(boxes[gi, 6]), np.sin(boxes[gi, 6])
+        obj = np.stack([local[:, 0] * c_ + local[:, 1] * s_,
+                        -local[:, 0] * s_ + local[:, 1] * c_,
+                        local[:, 2]], -1) + boxes[gi, :3]
         objf = np.concatenate(
             [obj.astype(np.float32),
              rng.uniform(0, 255, (npts, 1)).astype(np.float32),
@@ -142,7 +150,10 @@ def make_sample(rng, out, split_dir, idx, num_points, img_hw, n_sweeps=3,
         timestamp=idx * 10 * 1e6,
         gt_boxes=boxes,
         gt_names=names.astype(str),
-        gt_velocity=rng.uniform(-3, 3, (n_gt, 2)).astype(np.float32),
+        # parked/standing attributes (above) imply ~zero velocity; random
+        # velocities were unlearnable noise (single-frame clusters carry
+        # no motion cue) that pinned mAVE at its clip value
+        gt_velocity=rng.normal(0, 0.05, (n_gt, 2)).astype(np.float32),
         num_lidar_pts=np.full(n_gt, 25),
         gt_attrs=attrs,
         num_radar_pts=np.zeros(n_gt, int),
