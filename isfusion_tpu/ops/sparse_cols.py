@@ -202,6 +202,13 @@ def dilate_columns(cg: ColumnGrid, dil_cap: int
     (same BEV row). On it, a submanifold 3^3 conv factorizes into
     x-direction rolls (exact on a sorted unique id table) + dense z-convs +
     exactly TWO row gathers (y+-1), instead of 6 neighbor gathers per conv.
+
+    CAPACITY CAVEAT (r3): the true x-dilation factor on ray-cast
+    nuScenes-scale clouds is ~2.0x the active columns at stage 0; a
+    `dil_cap` below that drops ACTIVE columns from the conv (measured
+    38%% at full bench scale with dilation_ratio=1.35). Size `dil_cap`
+    ~2.2x the column cap, or use the windowed engine (ops/sparse_win.py),
+    which runs on the active table only and has no dilated capacity.
     Returns (dilated ColumnGrid, (slots (2, D), found (2, D))) where slots
     row 0 is the y-1 lookup and row 1 the y+1 lookup.
     """

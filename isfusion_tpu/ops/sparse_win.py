@@ -50,11 +50,13 @@ re-guarded by `rewindow`). All shapes static; batch via vmap.
 """
 from __future__ import annotations
 
+import functools
 from typing import Sequence, Tuple
 
 import flax.struct
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .sparse import unique_sorted_ids
 
@@ -225,19 +227,59 @@ def win_rulebook(cg: WinGrid) -> Tuple[jnp.ndarray, jnp.ndarray,
     return j, found, delta
 
 
+# opposite-tap index inside SIDE_TAPS: (dy, dx) <-> (-dy, -dx)
+_OPP = (5, 4, 3, 2, 1, 0)
+
+
+def _side_tap_impl(t: int, align: int, feats: jnp.ndarray,
+                   slots6: jnp.ndarray, found6: jnp.ndarray,
+                   delta6: jnp.ndarray) -> jnp.ndarray:
+    w = feats.shape[1]
+    rows = _gather_rows(feats, jnp.where(found6[t], slots6[t], 0))
+    rows = jnp.where(found6[t][:, None, None], rows, 0.0)
+    return _rebase_cases(rows, jnp.clip(delta6[t], -w, w), w, align)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _side_tap_sym(t: int, align: int, feats, slots6, found6, delta6):
+    """One side tap with a SCATTER-FREE backward.
+
+    The tap adjacency is an involution on the sorted unique id table:
+    u is v's (dy, dx) neighbor iff v is u's (-dy, -dx) neighbor, with
+    delta and the window-validity mask exactly mirrored. The VJP of
+    `out[v] = rebase(feats[slot_t[v]], delta_t[v])` w.r.t. feats is
+    therefore the SAME gather+rebase applied to the cotangent with the
+    opposite tap's rulebook — a gather (~21-35 ns/row) instead of the
+    scatter-add (~64-72 ns/row) autodiff would emit."""
+    return _side_tap_impl(t, align, feats, slots6, found6, delta6)
+
+
+def _side_tap_sym_fwd(t, align, feats, slots6, found6, delta6):
+    out = _side_tap_impl(t, align, feats, slots6, found6, delta6)
+    return out, (slots6, found6, delta6)
+
+
+def _side_tap_sym_bwd(t, align, res, ct):
+    slots6, found6, delta6 = res
+    d_feats = _side_tap_impl(_OPP[t], align, ct, slots6, found6, delta6)
+
+    def f0(x):
+        return np.zeros(x.shape, jax.dtypes.float0)
+
+    return (d_feats, f0(slots6), f0(found6), f0(delta6))
+
+
+_side_tap_sym.defvjp(_side_tap_sym_fwd, _side_tap_sym_bwd)
+
+
 def _side_taps(cg: WinGrid, slots: jnp.ndarray, found: jnp.ndarray,
                delta: jnp.ndarray) -> list:
     """All 6 side taps re-based into each receiver's window frame: one
     fat row gather each, then shift-select re-basing (fused into the
-    downstream im2col concat)."""
-    vc, w, c = cg.feats.shape
-    outs = []
-    for t in range(len(SIDE_TAPS)):
-        rows = _gather_rows(cg.feats, jnp.where(found[t], slots[t], 0))
-        rows = jnp.where(found[t][:, None, None], rows, 0.0)
-        outs.append(_rebase_cases(rows, jnp.clip(delta[t], -w, w), w,
-                                  cg.align))
-    return outs
+    downstream im2col concat). Backward is gather-based too (see
+    `_side_tap_sym`)."""
+    return [_side_tap_sym(t, cg.align, cg.feats, slots, found, delta)
+            for t in range(len(SIDE_TAPS))]
 
 
 def _x_taps(cg: WinGrid) -> Tuple[jnp.ndarray, jnp.ndarray]:

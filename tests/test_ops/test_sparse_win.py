@@ -259,6 +259,34 @@ def test_window_overflow_drops_cells_not_corrupts():
         np.testing.assert_allclose(f, dense[c], atol=0)
 
 
+def test_side_tap_custom_vjp_matches_autodiff():
+    """The scatter-free backward (opposite-tap gather, `_side_tap_sym`)
+    must equal plain autodiff of the tap gather for every tap, on a
+    fixture with nonzero window deltas."""
+    from isfusion_tpu.ops.sparse_win import (_side_tap_impl,
+                                             _side_tap_sym)
+    feats, coords, mask = random_sites(GRID_T, clustered=True, seed=13)
+    cg = build_win_grid(feats, coords, mask, GRID_T, col_cap=64,
+                        window=16)
+    slots, found, delta = win_rulebook(cg)
+    rng = np.random.default_rng(5)
+    probe = jnp.asarray(rng.normal(
+        size=(6,) + cg.feats.shape).astype(np.float32))
+    for t in range(6):
+        def loss_custom(f, t=t):
+            return jnp.sum(_side_tap_sym(t, cg.align, f, slots, found,
+                                         delta) * probe[t])
+
+        def loss_plain(f, t=t):
+            return jnp.sum(_side_tap_impl(t, cg.align, f, slots, found,
+                                          delta) * probe[t])
+
+        np.testing.assert_allclose(
+            np.asarray(jax.grad(loss_custom)(cg.feats)),
+            np.asarray(jax.grad(loss_plain)(cg.feats)),
+            rtol=1e-5, atol=1e-5)
+
+
 def test_gradients_flow():
     feats, coords, mask = random_sites(GRID_T, clustered=True)
     cg = build_win_grid(feats, coords, mask, GRID_T, col_cap=64,
