@@ -116,6 +116,7 @@ def test_loss_finite_and_positive(model_and_vars):
     assert float(losses["task1.loss_bbox"]) >= 0
 
 
+@pytest.mark.slow
 def test_grad_flows_into_sparse_encoder(model_and_vars):
     model, variables, batch = model_and_vars
 

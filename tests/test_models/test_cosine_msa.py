@@ -86,6 +86,7 @@ class TestCosineMSA:
 
 
 class TestSSTv2Cosine:
+    @pytest.mark.slow
     def test_forward_and_grad(self):
         m = SSTv2(d_model=[16], nhead=[2], num_blocks=1,
                   dim_feedforward=[16], window_shape=(3, 3, 1),

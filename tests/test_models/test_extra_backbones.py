@@ -4,6 +4,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from isfusion_tpu.models.backbones.regnet import (NoStemRegNet, RegNet,
                                                   generate_regnet)
@@ -61,6 +62,7 @@ def test_multi_backbone_aggregation():
     assert np.isfinite(np.asarray(out["hd_feature"])).all()
 
 
+@pytest.mark.slow
 def test_yolox_pafpn_shapes():
     from isfusion_tpu.models.necks.yolox_pafpn import YOLOXPAFPN
     m = YOLOXPAFPN(in_channels=[8, 16, 32], out_channels=8,

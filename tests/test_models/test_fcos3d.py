@@ -85,6 +85,7 @@ def test_forward_levels(model_and_vars):
     assert (np.asarray(preds[0]["bbox_pred"][..., 2:6]) > 0).all()
 
 
+@pytest.mark.slow
 def test_loss_finite_and_grads(model_and_vars):
     model, variables, batch = model_and_vars
     losses = jax.jit(

@@ -5,6 +5,7 @@ import sys
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 sys.path.insert(0, os.path.dirname(__file__))
 from test_pointpillars import tiny_pointpillars_cfg, tiny_batch  # noqa: E402
@@ -12,6 +13,7 @@ from test_pointpillars import tiny_pointpillars_cfg, tiny_batch  # noqa: E402
 from isfusion_tpu.models import build_detector  # noqa: E402
 
 
+@pytest.mark.slow
 def test_free_anchor_loss_and_grads():
     cfg = tiny_pointpillars_cfg()
     cfg["pts_bbox_head"]["type"] = "FreeAnchor3DHead"

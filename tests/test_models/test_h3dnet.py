@@ -1,5 +1,6 @@
 """H3DNet (VoteNet + geometric-primitive votes) smoke test."""
 import numpy as np
+import pytest
 
 from isfusion_tpu.models import build_detector
 
@@ -10,6 +11,7 @@ from test_indoor_variants import (backbone_cfg, votehead_cfg,  # noqa: E402
                                   tiny_batch, run_all_modes)
 
 
+@pytest.mark.slow
 def test_h3dnet():
     cfg = dict(type="H3DNet", backbone=backbone_cfg(),
                bbox_head=votehead_cfg(), primitive_channels=32,

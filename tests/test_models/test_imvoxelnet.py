@@ -2,6 +2,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from isfusion_tpu.models import build_detector
 
@@ -42,6 +43,7 @@ def tiny_cfg():
     )
 
 
+@pytest.mark.slow
 def test_imvoxelnet_e2e():
     rng = np.random.default_rng(0)
     model = build_detector(tiny_cfg())

@@ -160,6 +160,7 @@ def test_loss_finite(model_and_vars):
     assert float(losses["loss_heatmap"]) > 0
 
 
+@pytest.mark.slow
 def test_grads_flow_both_modalities(model_and_vars):
     model, variables, batch = model_and_vars
 

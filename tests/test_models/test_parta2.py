@@ -82,6 +82,7 @@ def model_and_vars():
     return model, variables, batch
 
 
+@pytest.mark.slow
 def test_loss(model_and_vars):
     model, variables, batch = model_and_vars
     losses, _ = jax.jit(
@@ -92,6 +93,7 @@ def test_loss(model_and_vars):
         assert k in losses and np.isfinite(float(losses[k])), k
 
 
+@pytest.mark.slow
 def test_grads(model_and_vars):
     model, variables, batch = model_and_vars
 
@@ -109,6 +111,7 @@ def test_grads(model_and_vars):
     assert unet_total > 0
 
 
+@pytest.mark.slow
 def test_predict(model_and_vars):
     model, variables, batch = model_and_vars
     out = jax.jit(

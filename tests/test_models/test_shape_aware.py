@@ -2,6 +2,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from isfusion_tpu.models.dense_heads import ShapeAwareHead
 
@@ -23,6 +24,7 @@ def make_head():
         bbox_coder=dict(type="DeltaXYZWLHRBBoxCoder"))
 
 
+@pytest.mark.slow
 def test_forward_anchor_alignment_loss_decode():
     head = make_head()
     feats = [jnp.asarray(np.random.default_rng(0).normal(

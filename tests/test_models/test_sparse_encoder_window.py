@@ -64,6 +64,7 @@ def make_inputs(seed=0, v_cap=256, n_active=180):
 
 
 @pytest.mark.parametrize("block_type", ["conv_module", "basicblock"])
+@pytest.mark.slow
 def test_window_engine_matches_columns(block_type):
     feats, coords, mask = make_inputs()
     bf = feats[None]
@@ -82,6 +83,7 @@ def test_window_engine_matches_columns(block_type):
     np.testing.assert_allclose(out_w, out_c, rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_window_engine_grads_finite():
     feats, coords, mask = make_inputs(seed=2)
     enc = make_encoder("window", "basicblock")

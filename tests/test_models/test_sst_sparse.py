@@ -115,6 +115,7 @@ def test_sstv2sparse_forward_and_permutation_invariance():
                                rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_sstv2sparse_grads():
     c = 16
     feats, coords, mask = rand_sparse(c=c, seed=7)

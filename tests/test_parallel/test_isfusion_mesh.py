@@ -35,6 +35,7 @@ def setup():
     return model, tx, TrainState.create(variables, tx), batch
 
 
+@pytest.mark.slow
 def test_flagship_mesh_step(setup):
     """8-device shard_map step: finite loss, replicated params, and
     approximate agreement with the single-device step on the same global
