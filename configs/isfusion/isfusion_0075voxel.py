@@ -100,6 +100,13 @@ model = dict(
         # the round-1 voxel caps dropped ~2/3 of stage-1 sites.
         stage_cap_ratios=(0.9, 1.0, 0.5, 0.25),
         dilation_ratio=1.35,
+        # z-windowed engine (ops/sparse_win.py): median active z-span per
+        # column is 1 cell vs the 48 the dense-z column engine stores;
+        # windows cut conv/gather/norm traffic ~3x at stages 1-2 and,
+        # running on the active table only, remove the x-dilation
+        # capacity truncation (38% of active columns at full scale)
+        engine='window',
+        win_widths=(16, 16, 12, 8),
         compute_dtype='bfloat16'),
 
     fusion_encoder=dict(
