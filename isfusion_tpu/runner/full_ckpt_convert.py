@@ -419,3 +419,181 @@ def convert_isfusion_torch_to_flax(sd: Dict[str, "object"],
     if out["batch_stats"]:
         visit(out["batch_stats"], ("batch_stats",))
     return out, missing
+
+
+def convert_lidar_torch_to_flax(sd: Dict[str, "object"],
+                                variables: Dict) -> Tuple[Dict, list]:
+    """Converter for the LiDAR-only detector families the reference also
+    publishes checkpoints for (CenterPoint, TransFusion-L, SECOND-family
+    — `/root/reference/README.md` model zoo): DynamicVFE/HardVFE +
+    SparseEncoder + plain SECOND (`_SECONDBlock_*` module naming) +
+    SECONDFPN + CenterHead task heads. TransFusionHead trees resolve via
+    `convert_isfusion_torch_to_flax`; use `convert_detector_torch_to_flax`
+    to compose both."""
+    import copy
+    out = copy.deepcopy(
+        {"params": variables["params"],
+         "batch_stats": variables.get("batch_stats", {})})
+    missing = []
+
+    def bn(base, leaf, col):
+        table = {("scale", "params"): ".weight", ("bias", "params"): ".bias",
+                 ("mean", "stats"): ".running_mean",
+                 ("var", "stats"): ".running_var"}
+        return _t(sd[base + table[(leaf, col)]])
+
+    def resolve(path, v):
+        col = "stats" if path[0] == "batch_stats" else "params"
+        p = path[1:]
+        mod = p[0]
+        try:
+            if mod == "pts_voxel_encoder_m":
+                i = int(re.match(r"LinearNormAct_(\d+)", p[1]).group(1))
+                base = f"pts_voxel_encoder.vfe_layers.{i}"
+                if p[2] == "Dense_0":
+                    return dense_w(sd[base + ".linear.weight"]) \
+                        if p[-1] == "kernel" else _t(sd[base + ".linear.bias"])
+                return bn(base + ".norm", p[-1], col)
+            if mod == "pts_middle_encoder_m":
+                name = p[1]
+                if name in ("conv_input", "conv_out"):
+                    base = f"pts_middle_encoder.{name}"
+                    if p[2] == "kernel":
+                        return sparse5d_w(sd[base + ".0.weight"])
+                    return bn(base + ".1", p[-1], col)
+                m = re.match(r"encoder_layer(\d+)_(\d+)(_proj)?", name)
+                base = (f"pts_middle_encoder.encoder_layers."
+                        f"encoder_layer{m.group(1)}.{m.group(2)}")
+                if p[2] == "kernel":
+                    return sparse5d_w(sd[base + ".0.weight"])
+                if p[2] == "MaskedBatchNorm_0":
+                    return bn(base + ".1", p[-1], col)
+                k = int(re.match(r"_SparseConvModule_(\d+)", p[2]).group(1))
+                if p[3] == "kernel":
+                    return sparse5d_w(sd[f"{base}.conv{k + 1}.weight"])
+                return bn(f"{base}.bn{k + 1}", p[-1], col)
+            if mod == "pts_backbone_m":
+                # plain SECOND: blocks.{i} = Sequential([Conv2d, BN,
+                # ReLU] * n) (`mmdet3d/models/backbones/second.py:11`)
+                bm = re.match(r"_SECONDBlock_(\d+)", p[1])
+                j = int(re.match(r"ConvModule_(\d+)", p[2]).group(1))
+                base = f"pts_backbone.blocks.{bm.group(1)}"
+                if p[3] == "Conv_0":
+                    return conv2d_w(sd[f"{base}.{3 * j}.weight"])
+                return bn(f"{base}.{3 * j + 1}", p[-1], col)
+            if mod == "pts_neck_m":
+                # SECONDFPN deblocks.{i} = Sequential(ConvTranspose2d |
+                # Conv2d, BN, ReLU); stride-1 deblocks are plain convs in
+                # the reference — disambiguate by weight layout
+                i = int(p[1].split("_")[1])
+                base = f"pts_neck.deblocks.{i}"
+                if p[2] in ("ConvTranspose_0", "Conv_0"):
+                    w = _t(sd[base + ".0.weight"])
+                    kh, kw, ci, co = v.shape
+                    if p[2] == "Conv_0":
+                        return conv2d_w(w)
+                    if w.shape == (ci, co, kh, kw):     # ConvTranspose2d
+                        return deconv2d_w(w)
+                    # reference stride-1 deblock is a plain Conv2d
+                    # (co, ci, kh, kw); as a stride-1 transpose kernel
+                    # that's the spatially-flipped conv kernel (identical
+                    # for the 1x1 kernels SECONDFPN uses at stride 1)
+                    return np.flip(conv2d_w(w), (0, 1))
+                return bn(base + ".1", p[-1], col)
+            if mod == "pts_bbox_head_m":
+                hb = "pts_bbox_head"
+                if p[1] == "shared_conv":
+                    if p[2] == "Conv_0":
+                        return conv2d_w(sd[f"{hb}.shared_conv.conv.weight"])
+                    return bn(f"{hb}.shared_conv.bn", p[-1], col)
+                tm = re.match(r"task_heads_(\d+)", p[1])
+                if tm:
+                    t = int(tm.group(1))
+                    hm = re.match(r"([a-z]+)_(\d+|final)", p[2])
+                    task, idx = hm.group(1), hm.group(2)
+                    tb = f"{hb}.task_heads.{t}.{task}"
+                    if idx == "final":
+                        key = f"{tb}.{_centerhead_final_idx(sd, tb)}." + (
+                            "weight" if p[-1] == "kernel" else "bias")
+                        return conv2d_w(sd[key]) if p[-1] == "kernel" \
+                            else _t(sd[key])
+                    if p[3] == "Conv_0":
+                        return conv2d_w(sd[f"{tb}.{idx}.conv.weight"])
+                    return bn(f"{tb}.{idx}.bn", p[-1], col)
+        except (KeyError, AttributeError):
+            return None
+        return None
+
+    def visit(tree, path):
+        for k in list(tree.keys()):
+            v = tree[k]
+            if isinstance(v, dict):
+                visit(v, path + (k,))
+            else:
+                r = resolve(path + (k,), v)
+                if r is None:
+                    missing.append("/".join(path + (k,)))
+                else:
+                    tree[k] = np.asarray(r, dtype=np.asarray(v).dtype)
+
+    visit(out["params"], ("params",))
+    if out["batch_stats"]:
+        visit(out["batch_stats"], ("batch_stats",))
+    return out, missing
+
+
+def _centerhead_final_idx(sd, task_base: str) -> int:
+    """SeparateHead branch Sequential: ConvModule x (convs-1) then a
+    final plain Conv2d; its index is the first `{i}.weight` key."""
+    i = 0
+    while f"{task_base}.{i}.conv.weight" in sd:
+        i += 1
+    return i
+
+
+def convert_detector_torch_to_flax(sd: Dict[str, "object"],
+                                   variables: Dict,
+                                   lidar_mods=None) -> Tuple[Dict, list]:
+    """Family-agnostic conversion with STRUCTURAL routing: each top-level
+    module resolves through exactly one family's resolver, chosen from
+    OUR parameter tree's layout (a try-one-then-the-other composition is
+    value-unsafe — e.g. the flagship resolver maps `ConvTransposeModule_i`
+    to `deblocks.{i+1}`, which also EXISTS in a CenterPoint checkpoint
+    and would silently convert the wrong deblock). ``lidar_mods`` can
+    pin the routing explicitly (a set of top-level module names) when
+    `variables` is a partial tree without the distinguishing siblings."""
+    params = variables["params"]
+
+    def lidar_family(mod: str, subtree: Dict) -> bool:
+        if mod == "pts_backbone_m":
+            return any(k.startswith("_SECONDBlock") for k in subtree)
+        if mod == "pts_neck_m":
+            return not any(k.startswith("ConvModule") for k in subtree)
+        if mod == "pts_bbox_head_m":
+            return any(k.startswith("task_heads") for k in subtree)
+        # voxel/middle encoders resolve identically in both families
+        return False
+
+    out_a, miss_a = convert_isfusion_torch_to_flax(sd, variables)
+    out_b, miss_b = convert_lidar_torch_to_flax(sd, variables)
+    miss_b_set = set(miss_b)
+    if lidar_mods is None:
+        lidar_mods = {m for m, sub in params.items()
+                      if isinstance(sub, dict) and lidar_family(m, sub)}
+    still = sorted((set(miss_a) - {p for p in miss_a
+                                   if p.split("/")[1] in lidar_mods}) |
+                   {p for p in miss_b_set
+                    if p.split("/")[1] in lidar_mods})
+
+    def merge(a, b, path):
+        for k in list(a.keys()):
+            pa = path + (k,)
+            if isinstance(a[k], dict):
+                merge(a[k], b[k], pa)
+            elif pa[1] in lidar_mods:
+                a[k] = b[k]
+
+    merge(out_a["params"], out_b["params"], ("params",))
+    if out_a.get("batch_stats"):
+        merge(out_a["batch_stats"], out_b["batch_stats"], ("batch_stats",))
+    return out_a, still

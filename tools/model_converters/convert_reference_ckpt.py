@@ -33,7 +33,7 @@ def main():
     from isfusion_tpu.models import build_detector
     from isfusion_tpu.runner.ckpt_convert import load_torch_checkpoint
     from isfusion_tpu.runner.full_ckpt_convert import \
-        convert_isfusion_torch_to_flax
+        convert_detector_torch_to_flax
     from isfusion_tpu.runner.checkpoint import save_checkpoint
 
     cfg = Config.fromfile(args.config)
@@ -47,7 +47,7 @@ def main():
         lambda s: np.zeros(s.shape, s.dtype), variables)
 
     sd = load_torch_checkpoint(args.checkpoint)
-    converted, missing = convert_isfusion_torch_to_flax(sd, variables)
+    converted, missing = convert_detector_torch_to_flax(sd, variables)
     n = len(jax.tree_util.tree_leaves(variables))
     print(f"converted {n - len(missing)}/{n} parameters")
     if missing:
