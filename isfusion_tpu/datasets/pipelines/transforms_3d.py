@@ -343,6 +343,12 @@ class IndoorPointSample:
 
 
 @PIPELINES.register_module()
+class PointSample(IndoorPointSample):
+    """Registered alias: later mmdet3d renames IndoorPointSample to
+    PointSample; both names build the same transform."""
+
+
+@PIPELINES.register_module()
 class ObjectNoise:
     """Per-object jitter (`transforms_3d.py` ObjectNoise, SECOND-style):
     random translation/rotation applied to each GT box and its points."""
