@@ -397,6 +397,10 @@ def sparse_conv_win(cg: WinGrid, weight: jnp.ndarray, stride, padding,
     ny_o = (ny + 2 * py - ky) // sy + 1
     nx_o = (nx + 2 * px - kx) // sx + 1
     dt = cg.feats.dtype
+    # alignment halves with the stride (finer offsets at deeper stages):
+    # the re-basing shift-select case count grows as W/align, but the
+    # deep-stage tensors are small, and coarser alignment measurably
+    # drops window capacity that real merged columns need
     out_align = out_align or max(1, cg.align // sz)
     # compute at the natural frame width; `out_window` only narrows the
     # FINAL re-guarded window (overflow-drop applies there, after the
