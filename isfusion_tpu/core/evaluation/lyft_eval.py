@@ -186,12 +186,17 @@ def lyft_eval_core(results: List[dict], gts: List[dict],
 
     aps = np.zeros((len(classes), len(iou_thresholds)))
     for c in range(len(classes)):
-        # SDK semantics: classes with no predictions score 0 at every
-        # threshold; classes with no GT likewise contribute 0 rows.
+        # classes with no predictions score 0 at every threshold
         if per_class_preds[c] and gt_counts[c] > 0:
             aps[c] = get_single_class_aps(
                 per_class_gts[c], per_class_preds[c], iou_thresholds)
-    m_ap_per_th = aps.mean(axis=0)
+    # SDK semantics (mAP_evaluation: class_names = get_class_names(gt)):
+    # the mean runs ONLY over classes present in the ground truth —
+    # averaging zero rows for absent classes would deflate the headline
+    present = np.asarray([gt_counts[c] > 0 for c in range(len(classes))])
+    if not present.any():
+        present = np.ones(len(classes), bool)
+    m_ap_per_th = aps[present].mean(axis=0)
     m_ap_per_class = aps.mean(axis=1)
     return {
         "average_precisions": aps.tolist(),
@@ -199,4 +204,5 @@ def lyft_eval_core(results: List[dict], gts: List[dict],
         "mAPs_cate": m_ap_per_class.tolist(),
         "Final mAP": float(m_ap_per_th.mean()),
         "class_names": list(classes),
+        "gt_present": present.tolist(),
     }

@@ -92,7 +92,12 @@ def weighted_nms(boxes: np.ndarray, scores: np.ndarray,
         diff = (diff + np.pi) % (2 * np.pi) - np.pi
         sel = cand[np.abs(diff) < yaw_tol]
         w = np.concatenate([[s[i]], s[sel]])
-        data = np.concatenate([b[i][None], b[sel]], axis=0)
+        data = np.concatenate([b[i][None], b[sel]], axis=0).copy()
+        # unwrap yaws to the kept box's branch before averaging: raw
+        # values straddling +-pi (e.g. 3.1 and -3.1) would otherwise
+        # average to ~0 — a heading flipped by ~pi
+        data[:, 6] = b[i, 6] + ((data[:, 6] - b[i, 6] + np.pi) %
+                                (2 * np.pi) - np.pi)
         merged.append((w[:, None] * data).sum(0) / w.sum())
     keep = np.asarray(keep, np.int64)
     return np.stack(merged), s[keep], order[keep]

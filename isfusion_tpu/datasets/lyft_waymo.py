@@ -35,7 +35,12 @@ class LyftDataset(NuScenesDataset):
         from ..core.evaluation.lyft_eval import lyft_eval_core
         gts = []
         for info in self.data_infos:
-            boxes = np.asarray(info["gt_boxes"], np.float64)
+            boxes = np.asarray(info["gt_boxes"], np.float64).copy()
+            # info boxes carry GRAVITY-center z (reference info format;
+            # get_ann_info loads them with origin=(0.5,0.5,0.5));
+            # predictions and iou_3d use bottom-center z — shift down
+            if boxes.shape[0]:
+                boxes[:, 2] -= boxes[:, 5] / 2.0
             labels = np.asarray(
                 [self.cat2id.get(n, -1) for n in info["gt_names"]],
                 np.int64)

@@ -132,18 +132,25 @@ class _SparseConvModule(nn.Module):
             sz = self.stride[0] if isinstance(self.stride,
                                               (tuple, list)) else self.stride
             pz = _pad3(self.padding)[0]
-            return jax.vmap(
-                lambda g: zconv_win(g, w, int(sz), pz))(cg)
+            # remat like the column branches: recompute in backward
+            # instead of keeping the conv intermediates alive
+            return jax.checkpoint(lambda f, ww: jax.vmap(
+                lambda g: zconv_win(g, ww, int(sz), pz))(
+                    cg.replace(feats=f)))(cg.feats, w)
         stride = _pad3(self.stride)
         pad = _pad3(self.padding)
         out_cap = self.out_cap or cg.feats.shape[1]
         # spread = full z extent: strided downsamples merge columns whose
         # windows can sit arbitrarily far apart, so the gathered frame
         # covers everything (EXACT, no drop) — only the few strided convs
-        # pay the wider frame; the dominant subm convs stay windowed
-        return jax.vmap(lambda g: sparse_conv_win(
-            g, w, stride, pad, out_cap, z_total=self.z_total,
-            out_window=self.out_window, spread=self.z_total))(cg)
+        # pay the wider frame; the dominant subm convs stay windowed.
+        # remat: the 9 gathered (Vc, w+z_total, C) tap frames would
+        # otherwise stay alive for the backward pass
+        return jax.checkpoint(lambda f, ww: jax.vmap(
+            lambda g: sparse_conv_win(
+                g, ww, stride, pad, out_cap, z_total=self.z_total,
+                out_window=self.out_window, spread=self.z_total))(
+                    cg.replace(feats=f)))(cg.feats, w)
 
 
 class _SparseBasicBlock(nn.Module):

@@ -127,3 +127,16 @@ class TestLyftEvalCore:
             mask=np.array([False, True]))]
         m = lyft_eval_core(results, gts, classes)
         assert m["Final mAP"] == pytest.approx(1.0)
+
+
+def test_final_map_averages_only_gt_present_classes():
+    """SDK semantics: mAP_evaluation means over get_class_names(gt) —
+    classes absent from the GT must not deflate the headline (r3 fix)."""
+    classes = ["car", "pedestrian", "animal"]
+    gts = [dict(boxes=np.stack([box(0, 0, 0, 4, 2, 1.6)]),
+                labels=np.array([0]))]
+    results = [dict(bboxes=np.stack([box(0, 0, 0, 4, 2, 1.6)]),
+                    scores=np.array([0.9]), labels=np.array([0]))]
+    m = lyft_eval_core(results, gts, classes)
+    assert m["Final mAP"] == pytest.approx(1.0)
+    assert m["gt_present"] == [True, False, False]

@@ -87,3 +87,17 @@ def test_merge_aug_weighted_option():
     expect_x = (0.9 * 5.0 + 0.3 * 5.2) / 1.2
     np.testing.assert_allclose(merged["bboxes"][0][0], expect_x, atol=1e-5)
     np.testing.assert_allclose(merged["scores"][0], 0.9, atol=1e-6)
+
+
+def test_weighted_nms_yaw_wrap_at_pi():
+    """Yaws straddling +-pi (same physical heading) must merge to that
+    heading, not average through zero (r3 review fix)."""
+    from isfusion_tpu.core.post_processing import weighted_nms
+    b = np.array([[0, 0, 0, 4, 2, 1.5, 3.10],
+                  [0.05, 0, 0, 4, 2, 1.5, -3.10]], np.float32)
+    s = np.array([0.9, 0.8])
+    merged, scores, idx = weighted_nms(b, s, nms_thr=0.3, merge_thr=0.3,
+                                       yaw_tol=0.5)
+    assert len(merged) == 1
+    d = (merged[0, 6] - np.pi + np.pi) % (2 * np.pi) - np.pi
+    assert abs(d) < 0.1, merged[0, 6]

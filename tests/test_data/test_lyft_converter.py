@@ -58,8 +58,12 @@ def test_create_lyft_infos(tmp_path):
     info = infos[0]
     assert "CAM_FRONT" in info["cams"]
     # box moved into the lidar frame: global (15,7,1) - ego (10,5,0)
-    # - lidar (0,0,1.8), bottom z = center - h/2
+    # - lidar (0,0,1.8); infos carry GRAVITY-center z (the reference info
+    # format; the loader converts with origin=(0.5,0.5,0.5) — r3 fix)
     np.testing.assert_allclose(info["gt_boxes"][0, :3],
-                               [5.0, 2.0, 1.0 - 1.8 - 0.75], atol=1e-6)
-    np.testing.assert_allclose(info["gt_boxes"][0, 6], 0.5, atol=1e-6)
+                               [5.0, 2.0, 1.0 - 1.8], atol=1e-6)
+    # stored yaw = -phi - pi/2 (reference box parameterization; the
+    # global heading here is 0.5 with identity ego/lidar rotations)
+    np.testing.assert_allclose(info["gt_boxes"][0, 6], -0.5 - np.pi / 2,
+                               atol=1e-6)
     assert info["gt_names"][0] == "car"

@@ -94,9 +94,17 @@ def create_lyft_infos(root_path: str, info_prefix: str = "lyft",
             c_e = e2g_r.T @ (c_g - e2g_t)
             c_l = l2e_r.T @ (c_e - l2e_t)
             r_l = l2e_r.T @ (e2g_r.T @ r_g)
-            yaw = np.arctan2(r_l[1, 0], r_l[0, 0])
+            # reference parameterization: stored yaw = -phi - pi/2 with
+            # (w, l, h) dims (same convention fix as nuscenes_converter;
+            # the box stack's corner convention needs it to place the
+            # extents on the right axes relative to the point cloud)
+            yaw = -np.arctan2(r_l[1, 0], r_l[0, 0]) - np.pi / 2
             w, l, h = ann["size"]
-            locs.append([c_l[0], c_l[1], c_l[2] - h / 2])
+            # GRAVITY-center z: the reference info format stores
+            # box.center as-is (`nuscenes_converter.py:276`) and the
+            # loader converts with origin=(0.5, 0.5, 0.5) — storing
+            # bottom z here double-shifted GT by h/2 on load (r3 fix)
+            locs.append([c_l[0], c_l[1], c_l[2]])
             dims.append([w, l, h])
             rots.append(yaw)
             names.append(cat)

@@ -159,7 +159,11 @@ def create_nuscenes_infos(root_path: str, info_prefix: str,
             vg = np.array([v[0], v[1], 0.0])
             vl = l2e_r.T @ (e2g_r.T @ vg)
             w, l, h = box.wlh
-            locs.append([c[0], c[1], c[2] - h / 2])   # bottom z
+            # GRAVITY-center z: the reference stores box.center as-is
+            # (`nuscenes_converter.py:276`) and NuScenesDataset loads
+            # infos with origin=(0.5, 0.5, 0.5) — the old bottom-z here
+            # double-shifted every real-data GT down by h/2 on load
+            locs.append([c[0], c[1], c[2]])
             dims.append([w, l, h])
             rots.append(yaw)
             names.append(NameMapping.get(box.name, box.name))
