@@ -21,11 +21,23 @@ def single_device_test(model, state: TrainState, loader,
     (bboxes/scores/labels/mask) aligned with dataset order."""
     from .train import _device_put_batch
     predict = make_eval_step(model, mesh=mesh)
+    n_dev = int(np.prod(list(mesh.shape.values()))) if mesh is not None \
+        else 1
     results: List[dict] = []
     for batch in loader:
-        arrays = _device_put_batch(batch, mesh)
+        arrays = {k: v for k, v in batch.items() if k != "img_metas"} \
+            if isinstance(batch, dict) else batch
+        b_true = next(iter(arrays.values())).shape[0]
+        if n_dev > 1 and b_true % n_dev:
+            # mesh-sharded eval needs a device-divisible batch; pad by
+            # repeating the first sample and truncate the results (the
+            # final val batch is ragged when drop_last=False)
+            pad = n_dev - b_true % n_dev
+            arrays = {k: np.concatenate(
+                [np.asarray(v)] + [np.asarray(v)[:1]] * pad, axis=0)
+                for k, v in arrays.items()}
+        arrays = _device_put_batch(arrays, mesh)
         out = jax.device_get(predict(state, arrays))
-        b = out["bboxes"].shape[0]
-        for i in range(b):
+        for i in range(b_true):
             results.append({k: np.asarray(v[i]) for k, v in out.items()})
     return results

@@ -165,8 +165,14 @@ def train_model(model, dataset, cfg, work_dir: str = "work_dir",
                 from ..datasets import build_dataset
                 from .test import single_device_test
                 val_ds = build_dataset(cfg.data["val"])
+                # GLOBAL batch for the (possibly mesh-sharded) eval step:
+                # samples_per_gpu is per-device, like the train loader's
+                # global_batch; ragged final batches are padded inside
+                # single_device_test
+                n_dev = int(np.prod(list(mesh.shape.values()))) \
+                    if mesh is not None else 1
                 val_loader = build_dataloader(
-                    val_ds, samples_per_gpu=samples_per_gpu,
+                    val_ds, samples_per_gpu=samples_per_gpu * n_dev,
                     workers_per_gpu=workers, shuffle=False)
                 results = single_device_test(model, state, val_loader,
                                              mesh=mesh)

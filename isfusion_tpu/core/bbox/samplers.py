@@ -91,10 +91,15 @@ class IoUNegPiecewiseSampler:
             idx, val = _masked_choice(keys[i], bands[i], budgets[i])
             chosen = jnp.concatenate([chosen, idx.astype(jnp.int32)])
             chosen_valid = jnp.concatenate([chosen_valid, val])
-        # top-off: replace invalid slots with random negatives not chosen
+        # top-off: replace invalid slots with random negatives NOT chosen
+        # by the band draws (the reference samples without replacement —
+        # drawing from all negatives here could duplicate a band pick and
+        # double-count its loss contribution, r3 review fix)
         short = ~chosen_valid
+        taken = jnp.zeros_like(neg_mask).at[chosen].set(
+            chosen_valid, mode="drop")
         fill_idx, fill_val = _masked_choice(
-            jax.random.fold_in(r_neg, 7), neg_mask, num_neg)
+            jax.random.fold_in(r_neg, 7), neg_mask & ~taken, num_neg)
         chosen = jnp.where(short, fill_idx.astype(jnp.int32), chosen)
         chosen_valid = chosen_valid | (short & fill_val)
         out = dict(pos_inds=pos_inds, pos_valid=pos_valid,

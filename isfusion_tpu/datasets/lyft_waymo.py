@@ -78,6 +78,19 @@ class SemanticKITTIDataset(Custom3DDataset):
                'sidewalk', 'other-ground', 'building', 'fence',
                'vegetation', 'trunck', 'terrian', 'pole', 'traffic-sign')
 
+    # semantic-kitti-api learning_map: raw .label ids -> the 20 train ids
+    # above (moving classes fold into their static counterparts). The
+    # reference dataset is skeletal and compares raw ids directly, which
+    # is meaningless on real scans (road=40 lands past num_classes);
+    # .label files are remapped through this on load (r3).
+    LEARNING_MAP = {
+        0: 0, 1: 0, 10: 1, 11: 2, 13: 5, 15: 3, 16: 5, 18: 4, 20: 5,
+        30: 6, 31: 7, 32: 8, 40: 9, 44: 10, 48: 11, 49: 12, 50: 13,
+        51: 14, 52: 0, 60: 9, 70: 15, 71: 16, 72: 17, 80: 18, 81: 19,
+        99: 0, 252: 1, 253: 7, 254: 6, 255: 8, 256: 5, 257: 5, 258: 4,
+        259: 5,
+    }
+
     def __init__(self, data_root, ann_file, pipeline=None, classes=None,
                  modality=None, box_type_3d="LiDAR",
                  filter_empty_gt=False, test_mode=False, **kwargs):
@@ -107,12 +120,24 @@ class SemanticKITTIDataset(Custom3DDataset):
         for idx, res in enumerate(results):
             path = self.data_infos[idx].get("pts_semantic_mask_path")
             if path and path.endswith(".npy"):
-                gt = np.load(path)
+                gt = np.load(path)          # already train-id space
             elif path:
-                gt = np.fromfile(path, dtype=np.uint32) & 0xFFFF
+                raw = np.fromfile(path, dtype=np.uint32) & 0xFFFF
+                gt = self.remap_labels(raw)
             else:
                 continue
             gts.append(gt.astype(np.int64))
             preds.append(np.asarray(res["semantic_mask"]))
         label2cat = {i: c for i, c in enumerate(self.CLASSES)}
         return seg_eval(gts, preds, label2cat, ignore_index=0)
+
+    @classmethod
+    def remap_labels(cls, raw: np.ndarray) -> np.ndarray:
+        """Raw SemanticKITTI ids -> train ids via LEARNING_MAP (unknown
+        ids -> 0/unlabeled)."""
+        lut = np.zeros(max(cls.LEARNING_MAP) + 1, np.int64)
+        for k, v in cls.LEARNING_MAP.items():
+            lut[k] = v
+        raw = np.asarray(raw, np.int64)
+        return lut[np.clip(raw, 0, len(lut) - 1) *
+                   (raw < len(lut))]

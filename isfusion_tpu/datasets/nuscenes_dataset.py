@@ -324,10 +324,15 @@ class NuScenesDataset(Custom3DDataset):
                 if "gt_attrs" in info else None
             gts.append(dict(boxes=boxes, labels=labels, num_pts=num_pts,
                             attrs=attrs))
-            # range filtering is ego-centric in the devkit; lidar->ego is
-            # a pure translation (rotation leaves BEV distances intact)
-            l2e = np.asarray(info.get("lidar2ego_translation",
-                                      [0.0, 0.0, 0.0]), np.float64)
-            egos.append(-l2e[:2])
+            # range filtering is ego-centric in the devkit; the ego
+            # origin expressed in LIDAR coordinates is -R^T t for the
+            # lidar->ego transform x_ego = R x_lidar + t (LIDAR_TOP is
+            # yawed ~90deg wrt ego, so ignoring R put the center ~1.3 m
+            # off and flipped boxes near the class-range edges — r3 fix)
+            l2e_t = np.asarray(info.get("lidar2ego_translation",
+                                        [0.0, 0.0, 0.0]), np.float64)
+            l2e_r = quat_to_rot(info.get("lidar2ego_rotation",
+                                         [1.0, 0.0, 0.0, 0.0]))
+            egos.append((-(l2e_r.T @ l2e_t))[:2])
         return nuscenes_style_eval(results, gts, list(self.CLASSES),
                                    ego_translations=egos)

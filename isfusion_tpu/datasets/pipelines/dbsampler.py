@@ -147,6 +147,11 @@ class MMDataBaseSamplerV2:
             np.zeros((0, 9), np.float32)
         avoid_2d = np.asarray(gt_bboxes_2d, np.float32).reshape(-1, 4) \
             if gt_bboxes_2d is not None else np.zeros((0, 4), np.float32)
+        # row in `avoid` each avoid_2d entry belongs to (GT 2D boxes align
+        # 1:1 with the leading GT rows; kept candidates append their true
+        # row) — without this the 2D collision matrix drifts onto the
+        # wrong boxes once any avoid entry lacks a 2D box (r3 review fix)
+        avoid_2d_rows = np.arange(len(avoid_2d))
         thr_2d = self._pick_collision_thr() if self.check_2D_collision \
             else None
         for name, max_num in self.sample_groups.items():
@@ -178,11 +183,13 @@ class MMDataBaseSamplerV2:
                     [c.get("bbox") is not None for c in cands])
                 total_2d = np.concatenate([avoid_2d, new_2d], axis=0)
                 c2d = self._coll_2d(total_2d, thr_2d)
-                pad2 = len(avoid) - len(avoid_2d)
-                if pad2 or len(total_2d) != len(all_boxes):
-                    # align: avoid entries lacking 2D boxes can't collide
+                if len(total_2d) != len(all_boxes) or \
+                        not np.array_equal(avoid_2d_rows,
+                                           np.arange(len(avoid))):
+                    # align: avoid entries lacking 2D boxes can't collide;
+                    # avoid_2d_rows maps each 2D box to its avoid row
                     full = np.zeros((len(all_boxes),) * 2, bool)
-                    idx = np.r_[np.arange(len(avoid_2d)),
+                    idx = np.r_[avoid_2d_rows,
                                 len(avoid) + np.arange(len(new_2d))]
                     full[np.ix_(idx, idx)] = c2d
                     c2d = full
@@ -210,11 +217,17 @@ class MMDataBaseSamplerV2:
                 [avoid, np.concatenate([kept_boxes, pad], 1)
                  [:, :avoid.shape[1]]], axis=0)
             if thr_2d is not None:
-                kept_2d = [np.asarray(cands[i]["bbox"], np.float32)
-                           for i in keep if cands[i].get("bbox") is not None]
+                kept_2d, kept_rows = [], []
+                for rank, i in enumerate(keep):
+                    if cands[i].get("bbox") is not None:
+                        kept_2d.append(
+                            np.asarray(cands[i]["bbox"], np.float32))
+                        kept_rows.append(n_avoid + rank)
                 if kept_2d:
                     avoid_2d = np.concatenate(
                         [avoid_2d, np.stack(kept_2d)], axis=0)
+                    avoid_2d_rows = np.concatenate(
+                        [avoid_2d_rows, np.asarray(kept_rows)])
             for i in keep:
                 info = copy.deepcopy(cands[i])
                 info["label"] = label

@@ -141,9 +141,10 @@ def bucketize_shift(feats: jnp.ndarray, coords: jnp.ndarray,
 
 def window2flat(part: dict, updated: List[jnp.ndarray],
                 feats: jnp.ndarray) -> jnp.ndarray:
-    """Gather attended bucket tokens back to the flat voxel order;
-    dropped voxels keep their input features (`drop` only affects
-    attention participation, reference keeps them in the canvas)."""
+    """Gather attended bucket tokens back to the flat voxel order.
+    Drop-survivor selection happens at the input layer (reference
+    drop_voxel removes dropped voxels entirely); non-kept rows pass
+    through untouched here and are excluded from the output canvas."""
     out = feats
     info_n = len(updated)
     for li in range(info_n):
@@ -178,12 +179,31 @@ class SSTInputLayerV2(nn.Module):
 
     def __call__(self, feats: jnp.ndarray, coords: jnp.ndarray,
                  valid: jnp.ndarray) -> List[dict]:
-        """Single-sample (V, C) + (V, 3) zyx -> [no-shift, shift] parts."""
+        """Single-sample (V, C) + (V, 3) zyx -> [no-shift, shift] parts.
+
+        Reference `drop_voxel:135` REMOVES voxels dropped by either
+        shift's token budget before building the final indexings, so the
+        survivor set (and the shift-1 ranks) are computed on the voxels
+        kept by shift 0. Mirrored here with a two-pass bucketize; the
+        composite mask is returned as part['keep_all'] for callers to
+        exclude dropped voxels downstream (r3 parity fix — previously
+        dropped voxels leaked their un-attended features into the BEV
+        canvas)."""
         v = feats.shape[0]
         caps = self._caps(v)
-        return [bucketize_shift(feats, coords, valid, self.sparse_shape,
-                                self.window_shape, self.drop_info, caps,
-                                do_shift) for do_shift in (False, True)]
+        k0 = bucketize_shift(feats, coords, valid, self.sparse_shape,
+                             self.window_shape, self.drop_info, caps,
+                             False)["keep"]
+        k1 = bucketize_shift(feats, coords, valid & k0, self.sparse_shape,
+                             self.window_shape, self.drop_info, caps,
+                             True)["keep"]
+        eff = valid & k0 & k1
+        parts = [bucketize_shift(feats, coords, eff, self.sparse_shape,
+                                 self.window_shape, self.drop_info, caps,
+                                 do_shift) for do_shift in (False, True)]
+        for p in parts:
+            p["keep_all"] = eff
+        return parts
 
 
 class _BucketAttention(nn.Module):
@@ -264,9 +284,19 @@ class SSTv2Sparse(nn.Module):
         caps = [int(c) for c in self.win_caps] if self.win_caps is not None \
             else [max(1, v // max(1, int(d["drop_range"][0]) or 1))
                   for d in info]
+        # reference drop_voxel semantics: voxels dropped by EITHER
+        # shift's token budget are removed from the survivor set before
+        # the final groupings (and from the output canvas below)
+        k0 = jax.vmap(lambda f, c, m: bucketize_shift(
+            f, c, m, self.sparse_shape, self.window_shape, self.drop_info,
+            caps, False)["keep"])(feats, coords, valid)
+        k1 = jax.vmap(lambda f, c, m: bucketize_shift(
+            f, c, m, self.sparse_shape, self.window_shape, self.drop_info,
+            caps, True)["keep"])(feats, coords, valid & k0)
+        eff = valid & k0 & k1
         parts = [jax.vmap(lambda f, c, m, ds=ds: bucketize_shift(
             f, c, m, self.sparse_shape, self.window_shape, self.drop_info,
-            caps, ds))(feats, coords, valid) for ds in (False, True)]
+            caps, ds))(feats, coords, eff) for ds in (False, True)]
 
         batched_layer = nn.vmap(
             _BucketAttention, in_axes=(0, 0, None), out_axes=0,
@@ -290,7 +320,10 @@ class SSTv2Sparse(nn.Module):
             canvas = jnp.zeros((sx * sy + 1, f.shape[-1]), f.dtype)
             canvas = canvas.at[flat_id].set(f, mode="drop")
             return canvas[:-1].reshape(sy, sx, f.shape[-1])
-        return jax.vmap(to_bev)(x, coords, valid)
+        # dropped voxels are NOT scattered (reference recover_bev only
+        # ever sees the drop survivors; leaking un-attended input
+        # features fed raw values to the detection head)
+        return jax.vmap(to_bev)(x, coords, eff)
 
 
 def _rebind(part: dict, feats: jnp.ndarray) -> dict:

@@ -312,6 +312,10 @@ def sparse_conv_col_dil(cg: ColumnGrid, weight: jnp.ndarray, stride,
     p = (padding,) * 3 if isinstance(padding, int) else tuple(padding)
     sz, sy, sx = (int(v) for v in s)
     pz, py, px = (int(v) for v in p)
+    # the center-column trick (xc = xo*sx - px + 1) requires the 3 kx
+    # taps to be the {-1,0,+1} x-neighbors of an in-range center; px >= 2
+    # would silently drop border receptive-field contributions
+    assert px <= 1, "u-factorized strided conv requires x padding <= 1"
     ny, nx = cg.bev
     ny_o = (ny + 2 * py - ky) // sy + 1
     nx_o = (nx + 2 * px - kx) // sx + 1
@@ -345,7 +349,9 @@ def sparse_conv_col_dil(cg: ColumnGrid, weight: jnp.ndarray, stride,
         zmask_f[..., None],
         jnp.where(_roll_match(cg.ids, cg.cmask, nx, +1)[:, None],
                   jnp.roll(zmask_f, -1, axis=0), 0.0)[..., None]], -1)
-    mm = _zconv(mrolls, jnp.ones((kz, 3, 3), dt), stride=sz, padding=pz)
+    # one output channel: every output tap sums ALL 3 x-roll mask
+    # channels, so a (kz, 3, 3) ones kernel computed 3 identical outputs
+    mm = _zconv(mrolls, jnp.ones((kz, 3, 1), dt), stride=sz, padding=pz)
 
     # per-ky gather at the output's center input column (fused search)
     xc = xo * sx - px + 1
@@ -366,7 +372,7 @@ def sparse_conv_col_dil(cg: ColumnGrid, weight: jnp.ndarray, stride,
                          _gather_rows(um[..., ky_ * cout:(ky_ + 1) * cout],
                                       j[ky_]), 0.0)
         acc = part if acc is None else acc + part
-        mpart = jnp.where(found[ky_][:, None], mm[..., ky_][j[ky_]], 0.0)
+        mpart = jnp.where(found[ky_][:, None], mm[..., 0][j[ky_]], 0.0)
         zm = mpart if zm is None else zm + mpart
     out_zmask = (zm > 0.5) & out_cmask[:, None]
     feats = jnp.where(out_zmask[..., None], acc, 0.0).astype(dt)
@@ -452,9 +458,6 @@ def zconv_col(cg: ColumnGrid, weight: jnp.ndarray, stride: int,
     """Sparse conv with 1x1 BEV kernel (the encoder's conv_out (3,1,1)):
     the column set is unchanged, only z is convolved/strided."""
     kz = weight.shape[0]
-    z = cg.feats.shape[1]
-    z_out = (z + 2 * padding - kz) // stride + 1
-    del z_out
     acc = _zconv(cg.feats, weight[:, 0, 0], stride=stride, padding=padding)
     zm = _zconv(cg.zmask.astype(cg.feats.dtype)[..., None],
                 jnp.ones((kz, 1, 1), cg.feats.dtype), stride=stride,

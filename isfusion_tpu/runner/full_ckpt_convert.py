@@ -101,9 +101,6 @@ def convert_isfusion_torch_to_flax(sd: Dict[str, "object"],
          "batch_stats": variables.get("batch_stats", {})})
     missing = []
 
-    def heads_of(path_val):
-        return path_val.shape[-2] if path_val.ndim == 3 else None
-
     def visit(tree, path):
         for k in list(tree.keys()):
             v = tree[k]
@@ -114,13 +111,7 @@ def convert_isfusion_torch_to_flax(sd: Dict[str, "object"],
                 if r is None:
                     missing.append("/".join(path + (k,)))
                 else:
-                    tree[k] = np.asarray(r, dtype=np.asarray(v).dtype) \
-                        if not hasattr(r, "shape") or True else r
-
-    def get_nested(d, path):
-        for p in path:
-            d = d[p]
-        return d
+                    tree[k] = np.asarray(r, dtype=np.asarray(v).dtype)
 
     def convmodule(base, sub, leaf, col, v):
         """ConvModule: base.conv / base.bn."""

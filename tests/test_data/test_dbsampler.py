@@ -198,3 +198,46 @@ def test_paste_margin_mask_blending(tmp_path):
     assert img[y1 + 1, x1 + 1, 0] == 0
     # outside untouched
     assert img[50, 50, 0] == 0
+
+
+def test_2d_collision_rows_align_without_gt_2d(tmp_path):
+    """GT WITHOUT 2D boxes + multi-group sampling: the 2D collision
+    matrix attaches each stored patch box to its true `avoid` row via
+    avoid_2d_rows. (The pre-r3 first-rows alignment happened to be
+    suppression-equivalent because only any-over-earlier-rows is
+    consumed, but relied on that accident; this pins the behavior.)"""
+    rng = np.random.default_rng(2)
+    infos_car, infos_ped = [], []
+    for i in range(3):
+        pts = rng.normal(scale=0.3, size=(16, 5)).astype(np.float32)
+        f1 = f"align_car_{i}.npy"
+        np.save(os.path.join(str(tmp_path), f1), pts)
+        infos_car.append(dict(
+            name="car", path=f1, num_points_in_gt=16, difficulty=0,
+            cam_idx=0,
+            box3d_lidar=np.array([10 + 8 * i, -20, -1.5, 1.8, 4.2, 1.6,
+                                  0, 0, 0], np.float32),
+            bbox=[100, 100, 220, 200]))       # all same patch region
+        f2 = f"align_ped_{i}.npy"
+        np.save(os.path.join(str(tmp_path), f2), pts)
+        infos_ped.append(dict(
+            name="pedestrian", path=f2, num_points_in_gt=16, difficulty=0,
+            cam_idx=0,
+            box3d_lidar=np.array([10 + 8 * i, 20, -1.5, 0.7, 0.7, 1.7,
+                                  0, 0, 0], np.float32),
+            bbox=[102, 100, 222, 200]))       # overlaps the car patches
+    path = os.path.join(str(tmp_path), "dbinfos_align.pkl")
+    with open(path, "wb") as f:
+        pickle.dump(dict(car=infos_car, pedestrian=infos_ped), f)
+    s = MMDataBaseSamplerV2(
+        info_path=path, data_root=str(tmp_path), rate=1.0,
+        classes=["car", "pedestrian"],
+        sample_groups=dict(car=3, pedestrian=3),
+        check_2D_collision=True, collision_thr=0.3)
+    # GT present but NO gt_bboxes_2d: kept car patches occupy avoid rows
+    # AFTER the GT rows; the pedestrian group's 2D check must still see
+    # them (every patch overlaps, so at most ONE paste total survives)
+    gt = np.array([[0.0, 0.0, -1.5, 1.8, 4.2, 1.6, 0.0, 0, 0]], np.float32)
+    out = s.sample_all(gt, np.zeros((1,), np.int64))
+    assert out is not None
+    assert len(out["gt_labels_3d"]) == 1

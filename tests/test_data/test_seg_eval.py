@@ -53,3 +53,14 @@ def test_semantickitti_dataset_eval(tmp_path):
         os.path.join(tmp_path, f"scan{i}_lbl.npy"))) for i in range(2)]
     m = ds.evaluate(results)
     np.testing.assert_allclose(m["miou"], 1.0)
+
+
+def test_semantickitti_learning_map():
+    from isfusion_tpu.datasets import SemanticKITTIDataset as DS
+    raw = np.array([0, 10, 40, 48, 70, 252, 259, 99, 31], np.uint32)
+    got = DS.remap_labels(raw)
+    # car, road, sidewalk, vegetation; moving-car folds into car,
+    # moving-bus into bus; other-object -> unlabeled; bicyclist
+    assert got.tolist() == [0, 1, 9, 11, 15, 1, 5, 0, 7]
+    # ids beyond the map (e.g. instance-ish garbage) -> unlabeled
+    assert DS.remap_labels(np.array([300], np.uint32)).tolist() == [0]

@@ -136,3 +136,17 @@ def test_checkpoint_roundtrip(tmp_path, setup):
     l0 = jax.tree_util.tree_leaves(state.params)[0]
     r0 = jax.tree_util.tree_leaves(restored.params)[0]
     np.testing.assert_allclose(np.asarray(l0), np.asarray(r0))
+
+
+def test_mesh_eval_pads_ragged_batches(setup):
+    """single_device_test on an 8-device mesh must survive batches whose
+    size is not device-divisible (the EvalHook's final val batch with
+    drop_last=False) by padding and truncating (r3 review fix)."""
+    from isfusion_tpu.apis.test import single_device_test
+    model, tx, state, batch = setup
+    mesh = create_mesh(data=8)
+    ragged = {k: np.asarray(v)[:5] for k, v in batch.items()}
+    results = single_device_test(model, state, [ragged], mesh=mesh)
+    assert len(results) == 5
+    for r in results:
+        assert np.isfinite(np.asarray(r["bboxes"], np.float32)).all()

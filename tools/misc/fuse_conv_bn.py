@@ -35,13 +35,18 @@ def fuse_tree(params: dict, stats: dict, eps: float = 1e-3):
             if isinstance(v2, dict) and "kernel" in v2 and \
                     np.asarray(v2["kernel"]).ndim >= 4:
                 kern_scope = k2
-            if isinstance(v2, dict) and "scale" in v2 and "bias" in v2 \
+            # BN affine params may nest (ConvModule -> Norm_0 ->
+            # BatchNorm_0 -> scale/bias); match through _leaf (r3 fix:
+            # the direct-key match never fired on this layout, making
+            # the whole tool a silent no-op)
+            if isinstance(v2, dict) and _leaf(v2, "scale") is not None \
+                    and _leaf(v2, "bias") is not None \
                     and key in stats and k2 in stats.get(key, {}):
                 bn_scope = k2
         if kern_scope and bn_scope and kern_scope != bn_scope:
             conv = sub[kern_scope]
-            bn = sub[bn_scope]
-            st = stats[key][bn_scope]
+            bn = _scope_of(sub[bn_scope], "scale")
+            st = _scope_of(stats[key][bn_scope], "mean")
             mean = _leaf(st, "mean")
             var = _leaf(st, "var")
             if mean is None or var is None:
@@ -49,17 +54,43 @@ def fuse_tree(params: dict, stats: dict, eps: float = 1e-3):
             scale = np.asarray(bn["scale"]) / np.sqrt(
                 np.asarray(var) + eps)
             conv["kernel"] = np.asarray(conv["kernel"]) * scale
-            bias = np.asarray(conv.get("bias", 0.0))
-            conv["bias"] = bias * scale + np.asarray(bn["bias"]) - \
-                np.asarray(mean) * scale
+            if "bias" in conv:
+                conv["bias"] = np.asarray(conv["bias"]) * scale + \
+                    np.asarray(bn["bias"]) - np.asarray(mean) * scale
+                bn["bias"] = np.zeros_like(np.asarray(bn["bias"]))
+                _set_leaf(st, "mean", np.zeros_like(np.asarray(mean)))
+            else:
+                # norm-followed convs have use_bias=False — a synthetic
+                # 'bias' param would be silently IGNORED by flax.apply
+                # (r3 review fix: the shift term was lost). Carry the
+                # affine shift in the BN instead: with var=1-eps,
+                # scale=1, bias=0, the BN computes y - mean_new exactly,
+                # so mean_new := mean*scale - bias_bn reproduces
+                # scale*(y - mean)/sqrt(var+eps) + bias_bn.
+                _set_leaf(st, "mean",
+                          (np.asarray(mean) * scale -
+                           np.asarray(bn["bias"])).astype(
+                               np.asarray(mean).dtype))
+                bn["bias"] = np.zeros_like(np.asarray(bn["bias"]))
             bn["scale"] = np.ones_like(np.asarray(bn["scale"]))
-            bn["bias"] = np.zeros_like(np.asarray(bn["bias"]))
-            _set_leaf(st, "mean", np.zeros_like(np.asarray(mean)))
-            _set_leaf(st, "var", np.ones_like(np.asarray(var)))
+            _set_leaf(st, "var",
+                      np.full_like(np.asarray(var), 1.0 - eps))
             count += 1
         count += fuse_tree(sub, stats.get(key, {}), eps) \
             if isinstance(stats.get(key), dict) else 0
     return count
+
+
+def _scope_of(d, name):
+    """Innermost dict containing ``name`` as a direct key."""
+    if name in d:
+        return d
+    for v in d.values():
+        if isinstance(v, dict):
+            r = _scope_of(v, name)
+            if r is not None:
+                return r
+    return None
 
 
 def _leaf(d, name):
