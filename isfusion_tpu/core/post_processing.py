@@ -117,6 +117,13 @@ def merge_aug_bboxes_3d(aug_results: List[dict],
 
     aug_metas[i] may carry pcd_horizontal_flip / pcd_vertical_flip /
     pcd_scale_factor / pcd_rotation (scalar yaw) describing view i.
+
+    Inverse order contract: forward views compose flip -> rotate ->
+    scale (MultiScaleFlipAug3D applies its flips before the wrapped
+    transforms, where any GlobalRotScaleTrans rotates then scales), so
+    the undo here is scale^-1 -> rotate^-1 -> flip^-1. Flips and
+    isotropic scaling commute; rotation does not commute with flips, so
+    a rotation applied BEFORE the flips would need a different inverse.
     """
     boxes_list, scores_list, labels_list, mask_list = [], [], [], []
     for res, meta in zip(aug_results, aug_metas):

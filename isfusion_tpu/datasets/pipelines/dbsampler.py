@@ -242,7 +242,9 @@ class MMDataBaseSamplerV2:
             [self._load_points(i) for i in sampled_infos], axis=0)
         out = dict(gt_bboxes_3d=boxes, gt_labels_3d=labels, points=points,
                    imgs=None)
-        if imgs is not None and self.check_2D_collision is not None:
+        if imgs is not None:   # patch pasting whenever images flow
+            # (the old `check_2D_collision is not None` read as a gate
+            # but was always True for the bool field)
             out["imgs"] = self._paste_images(imgs, sampled_infos)
         return out
 

@@ -333,6 +333,16 @@ class IndoorPointSample:
     def __call__(self, data: dict) -> dict:
         pts = data["points"]
         n = len(pts)
+        if n == 0:
+            # np.random.choice(0, ...) raises; an all-filtered scan
+            # yields a zero-padded sample instead of killing the loader
+            data["points"] = pts.new_point(
+                np.zeros((self.num_points, pts.tensor.shape[1]),
+                         np.float32))
+            for key in ("pts_instance_mask", "pts_semantic_mask"):
+                if key in data:
+                    data[key] = np.zeros((self.num_points,), np.int64)
+            return data
         replace = n < self.num_points
         idx = np.random.choice(n, self.num_points, replace=replace)
         data["points"] = pts[idx]
@@ -358,9 +368,11 @@ class ObjectNoise:
                  num_try: int = 100, global_rot_range=(0.0, 0.0)):
         self.translation_std = np.asarray(translation_std, np.float32)
         self.rot_range = rot_range
+        self.num_try = int(num_try)
 
     def __call__(self, data: dict) -> dict:
-        from ...core.bbox.box_np_ops import points_in_rbbox
+        from ...core.bbox.box_np_ops import box_collision_test, \
+            points_in_rbbox
         boxes = data["gt_bboxes_3d"]
         pts = data["points"]
         arr = boxes.numpy()
@@ -369,8 +381,27 @@ class ObjectNoise:
         inside = points_in_rbbox(pts.numpy(), arr)
         tensor = pts.numpy()
         for i in range(len(arr)):
-            t = np.random.normal(scale=self.translation_std, size=3)
-            r = np.random.uniform(*self.rot_range)
+            # rejection sampling like the reference noise_per_object_v3_:
+            # a proposed placement that collides with any OTHER current
+            # box is retried up to num_try times, else the object stays
+            # put (previously the noise applied unconditionally and
+            # pushed adjacent objects into overlap — r3 review fix)
+            t = np.zeros(3, np.float32)
+            r = 0.0
+            others = np.delete(arr, i, axis=0)
+            for _ in range(max(1, self.num_try)):
+                t_c = np.random.normal(scale=self.translation_std, size=3)
+                r_c = np.random.uniform(*self.rot_range)
+                cand = arr[i:i + 1].copy()
+                cand[0, :3] += t_c
+                cand[0, 6] += r_c
+                if len(others) == 0 or not box_collision_test(
+                        cand[:, [0, 1, 3, 4, 6]],
+                        others[:, [0, 1, 3, 4, 6]]).any():
+                    t, r = t_c, r_c
+                    break
+            if r == 0.0 and not np.any(t):
+                continue
             sel = inside[:, i]
             c = arr[i, :3].copy()
             rel = tensor[sel, :3] - c

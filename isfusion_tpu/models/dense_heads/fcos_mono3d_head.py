@@ -226,6 +226,13 @@ class FCOSMono3DHead(nn.Module):
         else:
             code.append(jnp.zeros((n, 2)))
         bbox_targets_3d = jnp.concatenate(code, -1)
+        if self.norm_on_bbox:
+            # offsets supervised in STRIDE units to match the test-time
+            # decode `offs = bbox[..., :2] * strides` (reference
+            # fcos_mono3d_head get_targets divides by the stride; the
+            # old code trained raw-pixel offsets — r3 review fix)
+            bbox_targets_3d = bbox_targets_3d.at[..., :2].divide(
+                strides[:, None])
         rel = jnp.sqrt(tgt_dx ** 2 + tgt_dy ** 2) / (1.414 * strides)
         centerness = jnp.exp(-self.centerness_alpha * rel)
         return labels, bbox_targets_3d, centerness, attrs, fg
@@ -249,8 +256,6 @@ class FCOSMono3DHead(nn.Module):
         dir_preds = flat("dir_cls_pred") \
             if self.use_direction_classifier else None
         attr_preds = flat("attr_pred") if self.pred_attrs else None
-        # offset normalization by stride (norm_on_bbox, training branch)
-        bbox_preds = bbox_preds.at[..., :2].multiply(1.0)
 
         labels, targets3d, ctr_t, attrs_t, fg = jax.vmap(
             lambda gb, c2, dp, g3, gl, al, gm: self.get_targets_single(
@@ -303,10 +308,14 @@ class FCOSMono3DHead(nn.Module):
             centerness_p.reshape(-1), ctr_t.reshape(-1),
             weight=fgw.reshape(-1), avg_factor=num_pos)
         if dir_preds is not None:
-            dir_t = ((targets3d[..., 6] + self.dir_offset) %
-                     (2 * np.pi) < np.pi).astype(jnp.int32)
+            # reference get_direction_target: bin = floor(((yaw -
+            # dir_offset) mod 2pi) / pi) — the old (yaw + offset)/1-dir_t
+            # form contradicted the decode convention over yaw bands of
+            # total width ~4*dir_offset (r3 review fix)
+            dir_t = (((targets3d[..., 6] - self.dir_offset) %
+                      (2 * np.pi)) >= np.pi).astype(jnp.int32)
             losses["loss_dir"] = loss_dir_fn(
-                dir_preds, 1 - dir_t, weight=fgw, avg_factor=num_pos)
+                dir_preds, dir_t, weight=fgw, avg_factor=num_pos)
         if attr_preds is not None and "attr_labels" in batch:
             att = jnp.where(fg, attrs_t, 0)
             losses["loss_attr"] = loss_attr_fn(

@@ -48,8 +48,15 @@ class FreeAnchor3DHead(Anchor3DHead):
             decoded = coder.decode(anchors, bbox_p)
             ious = bbox_overlaps_nearest_3d(gts, decoded)  # (G, A)
             ious = jnp.where(gmask[:, None], ious, -1.0)
-            # localization prob: saturated-linear of IoU
-            t1, t2 = self.bbox_thr, 1.0
+            # localization prob: saturated-linear between bbox_thr and
+            # the PER-GT best IoU (reference free_anchor3d_head: t2 =
+            # object_box_iou.max(dim=1) clamped above t1; a fixed 1.0
+            # kept loc probs near zero early in training — r3 fix)
+            t1 = self.bbox_thr
+            # epsilon at f32 scale: t1 + 1e-12 rounds back to t1 in
+            # float32, making (t2 - t1) exactly zero -> NaN gradients
+            t2 = jnp.clip(jnp.max(ious, axis=1, keepdims=True),
+                          t1 + 1e-4, None)
             loc_p = jnp.clip((ious - t1) / (t2 - t1), 0.0, 1.0)
             # bag: top-k anchors per GT by IoU with the ANCHOR boxes
             a_iou = bbox_overlaps_nearest_3d(gts, anchors)  # (G, A)
@@ -62,17 +69,26 @@ class FreeAnchor3DHead(Anchor3DHead):
                 cls_g, glabels[:, None, None].repeat(k, 1), -1)[..., 0]
             loc_g = jnp.take_along_axis(loc_p, bag, 1)    # (G, k)
             match = cls_at_label * loc_g
-            # mean-max (FreeAnchor eq.6): soft selection over the bag
-            w_bag = match / jnp.maximum(
-                jnp.sum(match, -1, keepdims=True), 1e-12)
+            # mean-max (FreeAnchor eq.6 / reference positive_bag_loss):
+            # weights 1/(1-p) normalized — NOT p/sum(p), which inverts
+            # the early-training emphasis (r3 fix)
+            w_bag = 1.0 / jnp.clip(1.0 - match, 1e-12, None)
+            w_bag = w_bag / jnp.sum(w_bag, -1, keepdims=True)
             pos_p = jnp.sum(w_bag * match, -1)
             pos_loss = -jnp.log(jnp.clip(pos_p, 1e-12, 1.0))
             pos_loss = jnp.where(gmask, pos_loss, 0.0)
             num_pos = jnp.maximum(gmask.sum(), 1)
 
-            # negatives: P{anchor a localizes object j} maxed over j
-            obj_p = jnp.max(jnp.where(gmask[:, None], loc_p, 0.0), axis=0)
-            neg_p = probs * (1 - obj_p)[:, None]
+            # negatives: P{anchor a localizes an object OF CLASS c},
+            # maxed over that class's GTs only (reference builds the
+            # per-class image_box_prob; a class-agnostic max suppressed
+            # negative supervision for all other classes — r3 fix)
+            loc_masked = jnp.where(gmask[:, None], loc_p, 0.0)  # (G, A)
+            nc = probs.shape[-1]
+            safe_lbl = jnp.clip(glabels, 0, nc - 1)
+            obj_p = jnp.zeros((probs.shape[0], nc), loc_p.dtype).at[
+                :, safe_lbl].max(loc_masked.T)               # (A, nc)
+            neg_p = probs * (1 - obj_p)
             neg_loss = -(neg_p ** self.gamma) * jnp.log(
                 jnp.clip(1 - neg_p, 1e-12, 1.0))
             return (self.alpha * jnp.sum(pos_loss) / num_pos,

@@ -384,8 +384,13 @@ class TransFusionHeadV2(nn.Module):
                 in_task = jnp.isin(
                     labels, jnp.asarray(list(task["indices"])))
                 if nms_type == "circle":
+                    # the reference passes task['radius'] RAW to
+                    # circle_nms, whose thresh compares SQUARED distance
+                    # (box3d_nms.py:181 quirk: 0.175 means sqrt(0.175)=
+                    # 0.42 m); squaring again shrank suppression to
+                    # 0.175 m (r3 review fix)
                     keep = jax.vmap(lambda c, s, v: circle_nms_mask(
-                        c, s, radius ** 2, v))(
+                        c, s, radius, v))(
                             bboxes[..., :2], scores, mask & in_task)
                 else:   # rotate NMS on BEV boxes, radius = IoU thresh
                     from ...ops.box_ops import nms_bev_mask

@@ -163,9 +163,8 @@ def build_optimizer(params, optimizer_cfg: dict,
 
     lr_sched = build_lr_schedule(lr_config, base_lr, total_steps,
                                  steps_per_epoch)
-    b1_sched = build_momentum_schedule(momentum_config,
-                                       float(cfg.pop("betas", (0.9, 0.999))[0]
-                                             if "betas" in cfg else 0.9),
+    betas = tuple(float(b) for b in cfg.pop("betas", (0.9, 0.999)))
+    b1_sched = build_momentum_schedule(momentum_config, betas[0],
                                        total_steps)
 
     chain = []
@@ -173,17 +172,21 @@ def build_optimizer(params, optimizer_cfg: dict,
     if clip:
         chain.append(optax.clip_by_global_norm(float(clip["max_norm"])))
 
+    # configured betas forward into the optimizer in every branch (they
+    # were previously popped for the momentum schedule's base value and
+    # silently dropped otherwise — r3 review fix)
     if opt_type.lower() == "adamw":
         if b1_sched is not None:
             inner = optax.inject_hyperparams(optax.adamw)(
-                learning_rate=lr_sched, b1=b1_sched,
+                learning_rate=lr_sched, b1=b1_sched, b2=betas[1],
                 weight_decay=weight_decay)
         else:
-            inner = optax.adamw(lr_sched, weight_decay=weight_decay)
+            inner = optax.adamw(lr_sched, b1=betas[0], b2=betas[1],
+                                weight_decay=weight_decay)
     elif opt_type.lower() == "sgd":
         inner = optax.sgd(lr_sched, momentum=float(cfg.get("momentum", 0.9)))
     elif opt_type.lower() == "adam":
-        inner = optax.adam(lr_sched)
+        inner = optax.adam(lr_sched, b1=betas[0], b2=betas[1])
     else:
         raise ValueError(f"unsupported optimizer {opt_type}")
     chain.append(inner)
