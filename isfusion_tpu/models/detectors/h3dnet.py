@@ -37,6 +37,19 @@ def box_face_centers(boxes: jnp.ndarray) -> jnp.ndarray:
                      axis=-2)
 
 
+def box_edge_centers(boxes: jnp.ndarray) -> jnp.ndarray:
+    """(G, 7) gravity-centered boxes -> (G, 4, 3): midpoints of the four
+    vertical edges (the xy-plane ring), the edge-primitive targets."""
+    c = boxes[..., :3]
+    dx, dy = boxes[..., 3], boxes[..., 4]
+    yaw = boxes[..., 6]
+    cos, sin = jnp.cos(yaw), jnp.sin(yaw)
+    ex = jnp.stack([cos, -sin, jnp.zeros_like(cos)], -1) * dx[..., None] / 2
+    ey = jnp.stack([sin, cos, jnp.zeros_like(cos)], -1) * dy[..., None] / 2
+    return jnp.stack([c + ex + ey, c + ex - ey,
+                      c - ex + ey, c - ex - ey], axis=-2)
+
+
 @DETECTORS.register_module()
 class H3DNet(VoteNet):
     primitive_channels: int = 64
@@ -94,8 +107,13 @@ class H3DNet(VoteNet):
         w = seed_mask.astype(jnp.float32)
         loss_face = jnp.sum(jnp.minimum(d_face, 3.0) * w) / \
             jnp.maximum(w.sum(), 1.0)
-        # edges approximated by the xy-plane face ring midpoints
-        d_edge = chamfer_to(edge_xyz, grav[..., :3], gmask)
+        # edge primitives: vertical-edge midpoints (the xy ring corners
+        # at mid-height). Supervising with GT CENTERS (the old code)
+        # made this branch a duplicate of the main center vote — r3 fix
+        edges = jax.vmap(box_edge_centers)(grav)       # (B, G, 4, 3)
+        edges_flat = edges.reshape(b, g * 4, 3)
+        emask = jnp.repeat(gmask, 4, axis=-1)
+        d_edge = chamfer_to(edge_xyz, edges_flat, emask)
         loss_edge = jnp.sum(jnp.minimum(d_edge, 3.0) * w) / \
             jnp.maximum(w.sum(), 1.0)
         return dict(loss_face_vote=0.3 * loss_face,

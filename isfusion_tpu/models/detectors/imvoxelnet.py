@@ -105,7 +105,15 @@ class ImVoxelNet(nn.Module):
             s = jnp.where(valid[:, None], s, 0.0)
             return s.reshape(nz, ny, nx, -1)
 
-        volume = jax.vmap(lift)(feat, batch["cam2img"])
+        # full world->image projection: KITTI pipelines emit lidar2img
+        # (P2 @ rect @ Tr_velo2cam); mono pipelines may emit cam2img as
+        # the full projection. Bare-intrinsics cam2img without extrinsics
+        # would sample geometrically wrong pixels for LiDAR-frame voxel
+        # centers, so prefer lidar2img when present.
+        proj = batch.get("lidar2img", batch.get("cam2img"))
+        if proj is None:
+            raise KeyError("ImVoxelNet needs 'lidar2img' or 'cam2img'")
+        volume = jax.vmap(lift)(feat, proj)
         bev = self.neck_3d_m(volume, train=train)
         preds = self.bbox_head_m([bev], train=train)
         if mode == "feats":

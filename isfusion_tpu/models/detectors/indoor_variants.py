@@ -77,16 +77,21 @@ class GroupFree3DNet(nn.Module):
         q_xyz = jnp.take_along_axis(xyz, topi[..., None], 1)
         q = self.query_proj(
             jnp.take_along_axis(feats, topi[..., None], 1))
+        # top_k can select padded points when valid < num_queries; carry
+        # their invalidity through the decoder and the head (r3 fix —
+        # previously all queries were forced valid and padded keys
+        # received cross-attention mass)
+        q_mask = jnp.take_along_axis(mask, topi, 1)
         kv = self.key_proj(feats)
         for dec in self.decoders:
-            q = dec(q, kv, q_xyz[..., :2], xyz[..., :2], train=train)
+            q = dec(q, kv, q_xyz[..., :2], xyz[..., :2], train=train,
+                    key_mask=mask, query_mask=q_mask)
         # feed refined queries through the (VoteHead-style) prediction MLPs
         pseudo = dict(feat_dict)
         pseudo["fp_xyz"] = feat_dict["fp_xyz"][:-1] + [q_xyz]
         pseudo["fp_features"] = feat_dict["fp_features"][:-1] + \
             [self.out_proj(q)]
-        pseudo["fp_masks"] = feat_dict["fp_masks"][:-1] + [
-            jnp.ones(q.shape[:2], bool)]
+        pseudo["fp_masks"] = feat_dict["fp_masks"][:-1] + [q_mask]
         preds = self.bbox_head_m(pseudo, train=train)
         if mode == "feats":
             return preds

@@ -16,7 +16,7 @@ import jax.numpy as jnp
 
 from ...registry import DETECTORS
 from ...ops.voxel import voxelize_hard, voxelize_dynamic
-from ..builder import (build_backbone, build_fusion_layer, build_head,
+from ..builder import (build_backbone, build_head,
                        build_middle_encoder, build_neck, build_voxel_encoder)
 from .voxelnet import _capacity
 
@@ -48,8 +48,14 @@ class MVXTwoStageDetector(nn.Module):
         if self.pts_backbone:
             self.pts_backbone_m = build_backbone(dict(self.pts_backbone))
         if self.pts_fusion_layer:
-            self.pts_fusion_layer_m = build_fusion_layer(
-                dict(self.pts_fusion_layer))
+            # nothing consumes a detector-level fusion layer (in the
+            # reference, too, point-wise image fusion lives INSIDE the
+            # VFE via its fusion_layer key); building params here would
+            # be a silent no-op that bloats checkpoints — fail loudly
+            raise ValueError(
+                "pts_fusion_layer is not wired at the detector level; "
+                "configure pts_voxel_encoder.fusion_layer (DynamicVFE "
+                "PointFusion) instead")
         if self.pts_neck:
             self.pts_neck_m = build_neck(dict(self.pts_neck))
         if self.img_backbone:

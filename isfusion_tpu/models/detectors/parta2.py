@@ -125,27 +125,15 @@ class PartA2(nn.Module):
         part coordinates (normalized in-box position)."""
         from ..losses import build_loss
 
+        from ...ops.box_ops import box_local_uvw
+
         def single(c, m, gts, gm):
-            rel = c[:, None, :] - gts[None, :, :3]
-            rel = rel.at[..., 2].add(-gts[None, :, 5] / 2)
-            yaw = gts[:, 6]
-            cos, sin = jnp.cos(yaw)[None], jnp.sin(yaw)[None]
-            # inverse of the corner convention (box_np_ops.points_in_rbbox)
-            lx = rel[..., 0] * cos - rel[..., 1] * sin
-            ly = rel[..., 0] * sin + rel[..., 1] * cos
-            lz = rel[..., 2]
-            dims = jnp.maximum(gts[:, 3:6], 1e-3)
-            u = lx / dims[None, :, 0] + 0.5
-            v = ly / dims[None, :, 1] + 0.5
-            w = lz / dims[None, :, 2] + 0.5
-            inside = (u >= 0) & (u < 1) & (v >= 0) & (v < 1) & \
-                (w >= 0) & (w < 1) & gm[None, :]
+            uvw_all, inside = box_local_uvw(gts[:, :7], c)  # (P, G, ...)
+            inside = inside & gm[None, :]
             fg = inside.any(-1) & m
             first = jnp.argmax(inside, -1)
-            uvw = jnp.stack([
-                jnp.take_along_axis(u, first[:, None], 1)[:, 0],
-                jnp.take_along_axis(v, first[:, None], 1)[:, 0],
-                jnp.take_along_axis(w, first[:, None], 1)[:, 0]], -1)
+            uvw = jnp.take_along_axis(
+                uvw_all, first[:, None, None].repeat(3, -1), 1)[:, 0]
             return fg, uvw
 
         fg, uvw = jax.vmap(single)(centers, vmask, gt_bboxes, gt_mask)

@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from ...registry import HEADS
-from ...ops.box_ops import boxes_iou_3d
+from ...ops.box_ops import box_local_uvw, boxes_iou_3d
 from ..losses import build_loss
 
 
@@ -30,21 +30,11 @@ def roiaware_pool(rois: jnp.ndarray, centers: jnp.ndarray,
     (R, G, G, G, C) mean-pooled features (roiaware_pool3d equivalent)."""
     r = rois.shape[0]
     g = grid_size
-    rel = centers[None, :, :] - rois[:, None, :3]     # (R, V, 3)
-    rel = rel.at[..., 2].add(-rois[:, None, 5] / 2)   # box gravity frame
-    yaw = rois[:, 6]
-    cos, sin = jnp.cos(yaw)[:, None], jnp.sin(yaw)[:, None]
-    # inverse of the box corner convention (see box_np_ops.points_in_rbbox)
-    lx = rel[..., 0] * cos - rel[..., 1] * sin
-    ly = rel[..., 0] * sin + rel[..., 1] * cos
-    lz = rel[..., 2]
-    dims = jnp.maximum(rois[:, 3:6], 1e-3)
-    # normalized in-box coords in [0, 1)
-    u = lx / dims[:, None, 0] + 0.5
-    v = ly / dims[:, None, 1] + 0.5
-    w = lz / dims[:, None, 2] + 0.5
-    inside = (u >= 0) & (u < 1) & (v >= 0) & (v < 1) & (w >= 0) & \
-        (w < 1) & mask[None, :]
+    # shared world->box-local transform (ops/box_ops.box_local_uvw);
+    # returns (V, R, 3) — transpose to the (R, V) layout used below
+    uvw, inside_vr = box_local_uvw(rois, centers)
+    u, v, w = (jnp.moveaxis(uvw[..., i], 0, 1) for i in range(3))
+    inside = jnp.moveaxis(inside_vr, 0, 1) & mask[None, :]
     gi = jnp.clip((u * g).astype(jnp.int32), 0, g - 1)
     gj = jnp.clip((v * g).astype(jnp.int32), 0, g - 1)
     gk = jnp.clip((w * g).astype(jnp.int32), 0, g - 1)
@@ -67,7 +57,7 @@ def roiaware_pool(rois: jnp.ndarray, centers: jnp.ndarray,
 class PartAggregationROIHead(nn.Module):
     num_classes: int = 3
     grid_size: int = 6
-    in_channels: int = 19        # seg feats (16) + part (3)
+    in_channels: int = 20        # seg feats (16) + seg score (1) + part (3)
     shared_channels: Any = (128, 128)
     pos_iou_thr: float = 0.55
     train_cfg: Optional[dict] = None

@@ -64,7 +64,13 @@ class TransformerDecoderLayer(nn.Module):
     def __call__(self, query: jnp.ndarray, key: jnp.ndarray,
                  query_pos: Optional[jnp.ndarray],
                  key_pos: Optional[jnp.ndarray],
-                 train: bool = False) -> jnp.ndarray:
+                 train: bool = False,
+                 key_mask: Optional[jnp.ndarray] = None,
+                 query_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        """``key_mask`` (B, M) / ``query_mask`` (B, N): True = valid.
+        Padded keys otherwise receive softmax mass (padded xyz sits at
+        the origin with a learned pos embed), making outputs depend on
+        the pad length."""
         det = not train
         dt = self.dtype
         act = {"relu": nn.relu,
@@ -84,17 +90,23 @@ class TransformerDecoderLayer(nn.Module):
         def add(t, p):
             return t if p is None else t + p
 
+        def attn_mask(m):
+            # (B, M) key validity -> (B, 1, 1, M), broadcast over heads
+            # and query positions (flax MHA mask semantics)
+            return None if m is None else m[:, None, None, :]
+
         if not self.cross_only:
             q = add(query, qp)
             attn = mha(self.d_model, self.nhead, self.dropout, dtype=dt,
                        name="self_attn")(q, q, inputs_v=q,
+                                         mask=attn_mask(query_mask),
                                          deterministic=det)
             query = nn.LayerNorm(dtype=dt, name="norm1")(
                 query + nn.Dropout(self.dropout, deterministic=det)(attn))
         attn = mha(self.d_model, self.nhead, self.dropout, dtype=dt,
                    name="cross_attn")(
             add(query, qp), add(key, kp), inputs_v=add(key, kp),
-            deterministic=det)
+            mask=attn_mask(key_mask), deterministic=det)
         query = nn.LayerNorm(dtype=dt, name="norm2")(
             query + nn.Dropout(self.dropout, deterministic=det)(attn))
         ff = nn.Dense(self.dim_feedforward, dtype=dt, name="linear1")(query)

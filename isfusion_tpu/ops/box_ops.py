@@ -11,6 +11,8 @@ BEV boxes are (x, y, dx, dy, yaw).
 """
 from __future__ import annotations
 
+from typing import Tuple
+
 import jax
 import jax.numpy as jnp
 
@@ -18,6 +20,31 @@ import jax.numpy as jnp
 def limit_period(val: jnp.ndarray, offset: float = 0.5,
                  period: float = jnp.pi) -> jnp.ndarray:
     return val - jnp.floor(val / period + offset) * period
+
+
+def box_local_uvw(boxes: jnp.ndarray, centers: jnp.ndarray
+                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Normalized in-box coordinates of world points against boxes.
+
+    boxes (..., N, 7) bottom-center LiDAR boxes; centers (..., P, 3).
+    Returns (uvw (..., P, N, 3) in [0, 1) when inside, inside
+    (..., P, N) bool). Single home for the world->box-local transform
+    (inverse of the corner convention) that was previously triplicated
+    across parta2 part targets, roiaware pooling, and box_np_ops — a
+    convention change must happen in exactly one place.
+    """
+    rel = centers[..., :, None, :] - boxes[..., None, :, :3]
+    rel = rel.at[..., 2].add(-boxes[..., None, :, 5] / 2)  # gravity frame
+    yaw = boxes[..., None, :, 6]
+    cos, sin = jnp.cos(yaw), jnp.sin(yaw)
+    lx = rel[..., 0] * cos - rel[..., 1] * sin
+    ly = rel[..., 0] * sin + rel[..., 1] * cos
+    dims = jnp.maximum(boxes[..., None, :, 3:6], 1e-3)
+    uvw = jnp.stack([lx / dims[..., 0] + 0.5,
+                     ly / dims[..., 1] + 0.5,
+                     rel[..., 2] / dims[..., 2] + 0.5], -1)
+    inside = jnp.all((uvw >= 0) & (uvw < 1), axis=-1)
+    return uvw, inside
 
 
 def rotated_corners_2d(boxes_bev: jnp.ndarray) -> jnp.ndarray:

@@ -79,10 +79,15 @@ def hungarian(cost: jnp.ndarray) -> jnp.ndarray:
     p0 = jnp.zeros((m + 1,), jnp.int32)
     _, _, p = jax.lax.fori_loop(1, n + 1, outer, (u0, v0, p0))
 
-    # row -> col from col -> row
+    # row -> col from col -> row. p[0] is the algorithm's working cell
+    # and still holds the last augmented row — including it would write
+    # a duplicate index whose scatter resolution order XLA leaves
+    # undefined (the last row's match could silently become -1); only
+    # the real columns p[1:] participate (unmatched columns point at the
+    # dummy row 0, which the [1:] slice discards).
     cols = jnp.arange(m + 1, dtype=jnp.int32)
-    row_to_col = jnp.zeros((n + 1,), jnp.int32).at[p].set(cols,
-                                                          mode="drop")
+    row_to_col = jnp.zeros((n + 1,), jnp.int32).at[p[1:]].set(
+        cols[1:], mode="drop")
     return row_to_col[1:] - 1
 
 

@@ -42,7 +42,6 @@ def project_points_to_cameras(
     if img_aug_matrix is not None:
         uvh = jnp.concatenate(
             [uv, jnp.ones(uv.shape[:-1] + (2,), uv.dtype)], axis=-1)
-        uvh = uvh.at[..., 2].set(1.0)
         uv = jnp.einsum("nij,npj->npi", img_aug_matrix, uvh)[..., :2]
     return uv, depth, in_front
 
