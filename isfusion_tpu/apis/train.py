@@ -100,9 +100,13 @@ def train_model(model, dataset, cfg, work_dir: str = "work_dir",
     if "TensorboardLoggerHook" in hook_types and jax.process_index() == 0:
         try:
             from tensorboardX import SummaryWriter
-            tb_writer = SummaryWriter(os.path.join(work_dir, "tf_logs"))
-        except Exception:   # noqa: BLE001 - observability must not kill
-            logger.exception("tensorboard writer unavailable")
+        except ImportError:
+            # Dependency-free fallback: runner/tb_writer.py emits the
+            # same events.out.tfevents TFRecord artifact directly
+            # (cross-checked against TensorBoard's own reader in
+            # tests/test_runtime/test_tb_writer.py).
+            from ..runner.tb_writer import SummaryWriter
+        tb_writer = SummaryWriter(os.path.join(work_dir, "tf_logs"))
     ckpt_interval = int(dict(cfg.get("checkpoint_config", {}) or {}).get(
         "interval", 1))
     os.makedirs(work_dir, exist_ok=True)

@@ -1,0 +1,98 @@
+"""TensorBoard event-file writer: framing, proto encoding, roundtrip.
+
+Parity target: mmcv's TensorboardLoggerHook artifact
+(`/root/reference/configs/isfusion/isfusion_0075voxel.py:423-428`) —
+an events.out.tfevents TFRecord stream TensorBoard can read.
+"""
+import glob
+import os
+import struct
+
+from isfusion_tpu.runner.tb_writer import (
+    SummaryWriter, _crc32c, _masked_crc, read_scalars)
+
+
+def test_crc32c_known_vectors():
+    # RFC 3720 / golden values for CRC32C (Castagnoli).
+    assert _crc32c(b"123456789") == 0xE3069283
+    assert _crc32c(b"") == 0
+    assert _crc32c(b"\x00" * 32) == 0x8A9136AA
+
+
+def test_masked_crc_matches_tfrecord_spec():
+    crc = _crc32c(b"abc")
+    expect = (((crc >> 15) | (crc << 17)) + 0xA282EAD8) & 0xFFFFFFFF
+    assert _masked_crc(b"abc") == expect
+
+
+def test_scalar_roundtrip(tmp_path):
+    w = SummaryWriter(str(tmp_path))
+    w.add_scalar("train/loss", 1.5, 10)
+    w.add_scalar("train/loss", 0.75, 20)
+    w.add_scalar("val/mAP", 0.361, 1)
+    w.close()
+    (path,) = glob.glob(str(tmp_path / "events.out.tfevents.*"))
+    scalars = read_scalars(path)
+    assert scalars == [
+        ("train/loss", 1.5, 10),
+        ("train/loss", 0.75, 20),
+        (("val/mAP"), struct.unpack("<f", struct.pack("<f", 0.361))[0], 1),
+    ]
+
+
+def test_file_version_handshake_record(tmp_path):
+    """TensorBoard requires the first record to be the brain.Event:2
+    file_version event; verify it precedes any scalars."""
+    w = SummaryWriter(str(tmp_path))
+    w.add_scalar("a", 1.0, 0)
+    w.close()
+    (path,) = glob.glob(str(tmp_path / "events.out.tfevents.*"))
+    with open(path, "rb") as f:
+        (length,) = struct.unpack("<Q", f.read(8))
+        f.read(4)
+        first = f.read(length)
+    assert b"brain.Event:2" in first
+
+
+def test_cross_compat_with_official_readers(tmp_path):
+    """Golden cross-check: files from the builtin writer parse with
+    TensorBoard's own EventFileLoader, and tensorboardX's files parse
+    with the builtin reader — same on-disk format both ways."""
+    w = SummaryWriter(str(tmp_path / "mine"))
+    w.add_scalar("train/loss", 1.5, 10)
+    w.close()
+    (mine,) = glob.glob(str(tmp_path / "mine" / "events.out.tfevents.*"))
+    from tensorboard.backend.event_processing.event_file_loader import (
+        EventFileLoader)
+    events = list(EventFileLoader(mine).Load())
+    assert events[0].file_version == "brain.Event:2"
+    (value,) = events[1].summary.value
+    assert value.tag == "train/loss"
+    assert events[1].step == 10
+
+    from tensorboardX import SummaryWriter as TBXWriter
+    w2 = TBXWriter(str(tmp_path / "theirs"))
+    w2.add_scalar("x", 2.5, 3)
+    w2.close()
+    (theirs,) = glob.glob(
+        str(tmp_path / "theirs" / "events.out.tfevents.*"))
+    assert read_scalars(theirs) == [("x", 2.5, 3)]
+
+
+def test_corrupt_record_detected(tmp_path):
+    w = SummaryWriter(str(tmp_path))
+    w.add_scalar("x", 3.0, 7)
+    w.close()
+    (path,) = glob.glob(str(tmp_path / "events.out.tfevents.*"))
+    data = bytearray(open(path, "rb").read())
+    data[-5] ^= 0xFF  # flip a payload byte of the last record
+    bad = str(tmp_path / "bad.tfevents")
+    open(bad, "wb").write(bytes(data))
+    try:
+        read_scalars(bad)
+        raised = False
+    except ValueError:
+        raised = True
+    assert raised
+    # sanity: size unchanged → corruption was in-place
+    assert os.path.getsize(bad) == os.path.getsize(path)
