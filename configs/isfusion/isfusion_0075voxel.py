@@ -99,13 +99,21 @@ model = dict(
         # ~107k / 116k / 56k / 22k, so these hold ~every real site while
         # the round-1 voxel caps dropped ~2/3 of stage-1 sites.
         stage_cap_ratios=(0.9, 1.0, 0.5, 0.25),
+        # dilated-table capacity: at ray-cast bench density (250k pts)
+        # 1.35 drops ~38% of active columns from stage 1 on (overflow-drop
+        # semantics — the same graceful degradation as the reference's
+        # hard_voxelize max_voxels=120000, which drops MORE at this
+        # density); dilation_ratio=2.0 holds every active column and
+        # measures 943 ms vs 681 ms for the encoder (ab_sparse_engine.py)
         dilation_ratio=1.35,
-        # z-windowed engine (ops/sparse_win.py): median active z-span per
-        # column is 1 cell vs the 48 the dense-z column engine stores;
-        # windows cut conv/gather/norm traffic ~3x at stages 1-2 and,
-        # running on the active table only, remove the x-dilation
-        # capacity truncation (38% of active columns at full scale)
-        engine='window',
+        # engine='window' (ops/sparse_win.py) cuts z traffic 3x on paper
+        # but measured 1580 ms on the v5e chip vs 681 ms for 'columns':
+        # its (Vc, W, C) layouts put C=32/64 in the 128-wide lane dim at
+        # stages 0-1, so every rebase/shift/mask op runs 2-4x lane-padded
+        # and the 9-tap im2col materializes more HBM traffic than the
+        # windows save. Kept as a config option; 'columns' is the
+        # measured-faster engine at full scale.
+        engine='columns',
         win_widths=(16, 16, 12, 8),
         compute_dtype='bfloat16'),
 

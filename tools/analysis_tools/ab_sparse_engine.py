@@ -1,0 +1,78 @@
+"""A/B the SparseEncoder engines (columns vs window) on the real chip.
+
+Builds the flagship, voxelizes the bench cloud once, then times ONLY the
+middle encoder under each engine config on identical device-resident
+inputs. Usage:
+  python tools/analysis_tools/ab_sparse_engine.py [variant ...]
+variants: window | columns | columns20 (dilation 2.0) | ... default all.
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "..", ".."))
+
+import jax
+
+from isfusion_tpu.config import Config
+from isfusion_tpu.flagship import ISFUSION_CFG, build_isfusion_flagship
+from isfusion_tpu.models import build_detector
+from isfusion_tpu.models.detectors.voxelnet import _capacity
+from isfusion_tpu.ops.voxel import voxelize_dynamic
+
+VARIANTS = {
+    "window": dict(engine="window"),
+    "columns": dict(engine="columns"),
+    "columns20": dict(engine="columns", dilation_ratio=2.0),
+}
+
+
+def main():
+    names = sys.argv[1:] or list(VARIANTS)
+    model, batch_fn = build_isfusion_flagship()
+    batch = jax.device_put(batch_fn(int(os.environ.get("B", "1"))))
+
+    cfg = Config.fromfile(ISFUSION_CFG)
+    vl = dict(cfg.model["pts_voxel_layer"])
+    cap = _capacity(vl.get("max_voxels", 120000), False)
+    dv = jax.jit(lambda b: jax.vmap(lambda p, m: voxelize_dynamic(
+        p, m, vl["point_cloud_range"], vl["voxel_size"], cap))(
+            b["points"], b["points_mask"]))(batch)
+
+    base_vars = jax.jit(lambda b: model.init(
+        jax.random.PRNGKey(0), b, train=False, mode="feats"))(batch)
+    vfe = jax.jit(lambda b, d: model.apply(
+        base_vars, b["points"], d.point_voxel_index, d.voxel_coors,
+        method=lambda mdl, p, i, c: mdl.pts_voxel_encoder_m(p, i, c)))
+    feats = jax.device_put(vfe(batch, dv))
+    dv = jax.device_put(dv)
+
+    for name in names:
+        over = VARIANTS[name]
+        c = Config.fromfile(ISFUSION_CFG)
+        mc = dict(c.model)
+        mc["pts_middle_encoder"] = dict(mc["pts_middle_encoder"], **over)
+        mdl = build_detector(
+            mc, train_cfg=c.get("train_cfg"), test_cfg=c.get("test_cfg"))
+        variables = jax.jit(lambda b: mdl.init(
+            jax.random.PRNGKey(0), b, train=False, mode="feats"))(batch)
+        f = jax.jit(lambda ff, d: mdl.apply(
+            variables, ff, d.voxel_coors, d.voxel_mask,
+            method=lambda m2, x, cc, mm: m2.pts_middle_encoder_m(
+                x, cc, mm)))
+        out = f(feats, dv)
+        jax.device_get(out.ravel()[0])
+        t0 = time.perf_counter()
+        n = 4
+        for _ in range(n):
+            out = f(feats, dv)
+        jax.device_get(out.ravel()[0])
+        dt = (time.perf_counter() - t0) / n
+        print(f"{name:12s} {dt*1e3:8.1f} ms  {dict(over)}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
