@@ -101,10 +101,11 @@ model = dict(
         stage_cap_ratios=(0.9, 1.0, 0.5, 0.25),
         # dilated-table capacity: at ray-cast bench density (250k pts)
         # 1.35 drops ~38% of active columns from stage 1 on (overflow-drop
-        # semantics — the same graceful degradation as the reference's
-        # hard_voxelize max_voxels=120000, which drops MORE at this
-        # density); dilation_ratio=2.0 holds every active column and
-        # measures 943 ms vs 681 ms for the encoder (ab_sparse_engine.py)
+        # semantics; NOTE the reference itself drops nothing here — its
+        # dynamic voxelization uses max_voxels=(-1,-1), and the 120k cap
+        # above is this repo's static-shape adaptation).
+        # dilation_ratio=2.0 holds every active column (943 ms vs 681 ms
+        # whole-encoder, ab_sparse_engine.py)
         dilation_ratio=1.35,
         # engine='window' (ops/sparse_win.py) cuts z traffic 3x on paper
         # but measured 1580 ms on the v5e chip vs 681 ms for 'columns':

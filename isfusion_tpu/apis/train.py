@@ -98,15 +98,23 @@ def train_model(model, dataset, cfg, work_dir: str = "work_dir",
     tb_writer = None
     hook_types = [dict(h).get("type") for h in log_cfg.get("hooks", [])]
     if "TensorboardLoggerHook" in hook_types and jax.process_index() == 0:
+        # Observability must not kill training: any writer failure
+        # (missing dep, read-only work_dir, protobuf init errors) logs
+        # and leaves tb_writer=None.
         try:
-            from tensorboardX import SummaryWriter
-        except ImportError:
-            # Dependency-free fallback: runner/tb_writer.py emits the
-            # same events.out.tfevents TFRecord artifact directly
-            # (cross-checked against TensorBoard's own reader in
-            # tests/test_runtime/test_tb_writer.py).
-            from ..runner.tb_writer import SummaryWriter
-        tb_writer = SummaryWriter(os.path.join(work_dir, "tf_logs"))
+            try:
+                from tensorboardX import SummaryWriter
+            except ImportError:
+                # Dependency-free fallback: runner/tb_writer.py emits the
+                # same events.out.tfevents TFRecord artifact directly
+                # (cross-checked against TensorBoard's own reader in
+                # tests/test_runtime/test_tb_writer.py).
+                from ..runner.tb_writer import SummaryWriter
+            tb_writer = SummaryWriter(os.path.join(work_dir, "tf_logs"))
+        except Exception as exc:  # noqa: BLE001 — deliberate guard
+            logger.warning("TensorBoard writer unavailable (%s); "
+                           "continuing with jsonl logging only", exc)
+            tb_writer = None
     ckpt_interval = int(dict(cfg.get("checkpoint_config", {}) or {}).get(
         "interval", 1))
     os.makedirs(work_dir, exist_ok=True)

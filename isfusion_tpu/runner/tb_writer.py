@@ -2,9 +2,9 @@
 
 Parity: the reference config registers a ``TensorboardLoggerHook``
 (`/root/reference/configs/isfusion/isfusion_0075voxel.py:423-428`) whose
-mmcv implementation streams scalars through tensorboardX. tensorboardX
-is not in this image, so this module emits the same on-disk artifact
-directly: a ``events.out.tfevents.*`` file in TensorBoard's native
+mmcv implementation streams scalars through tensorboardX. For
+deployments without tensorboardX this module emits the same on-disk
+artifact directly: a ``events.out.tfevents.*`` file in TensorBoard's native
 TFRecord format, hand-encoding the two tiny protos involved
 (``Event`` and ``Summary``) so real TensorBoard can read the result
 with zero extra dependencies here.
@@ -181,7 +181,9 @@ def _parse_event(data: bytes):
     step, summary = 0, None
     for field, _w, v in _fields(data):
         if field == 2:
-            step = v
+            # int64 step arrives as an unsigned varint; restore the sign
+            # (two's complement) so negative steps round-trip.
+            step = v - (1 << 64) if v >= (1 << 63) else v
         elif field == 5:
             summary = v
     if summary is None:

@@ -58,6 +58,9 @@ def test_cross_compat_with_official_readers(tmp_path):
     """Golden cross-check: files from the builtin writer parse with
     TensorBoard's own EventFileLoader, and tensorboardX's files parse
     with the builtin reader — same on-disk format both ways."""
+    import pytest
+    pytest.importorskip("tensorboard")
+    pytest.importorskip("tensorboardX")
     w = SummaryWriter(str(tmp_path / "mine"))
     w.add_scalar("train/loss", 1.5, 10)
     w.close()
@@ -77,6 +80,16 @@ def test_cross_compat_with_official_readers(tmp_path):
     (theirs,) = glob.glob(
         str(tmp_path / "theirs" / "events.out.tfevents.*"))
     assert read_scalars(theirs) == [("x", 2.5, 3)]
+
+
+def test_negative_step_roundtrip(tmp_path):
+    """int64 steps are varint-encoded two's-complement; the reader must
+    restore the sign instead of returning 2**64 + step."""
+    w = SummaryWriter(str(tmp_path))
+    w.add_scalar("x", 1.0, -3)
+    w.close()
+    (path,) = glob.glob(str(tmp_path / "events.out.tfevents.*"))
+    assert read_scalars(path) == [("x", 1.0, -3)]
 
 
 def test_corrupt_record_detected(tmp_path):
