@@ -26,6 +26,8 @@ from ...ops.sparse_cols import (ColumnGrid, build_column_grid,
                                 column_to_dense, dilate_columns,
                                 sparse_conv_col, sparse_conv_col_dil,
                                 subm_conv_col_dil, zconv_col)
+from ...ops.sparse_dense import (DenseGrid, columns_to_dense, dense_to_bev,
+                                 sparse_conv_dense, subm_conv_dense)
 from ...ops.sparse_win import (WinGrid, build_win_grid, sparse_conv_win,
                                subm_conv_win, to_common_frame,
                                win_rulebook, win_to_dense, zconv_win)
@@ -69,8 +71,9 @@ class _SparseConvModule(nn.Module):
             "kernel",
             nn.initializers.variance_scaling(1.0, "fan_in", "normal"),
             tuple(self.kernel_size) + (cin, self.out_channels), jnp.float32)
-        bev = cg.bev
-        if isinstance(cg, WinGrid):
+        if isinstance(cg, DenseGrid):
+            out = self._dense_conv(cg, w)
+        elif isinstance(cg, WinGrid):
             out = self._win_conv(cg, w, rulebook)
         elif self.conv_type == "SubMConv3d":
             assert rulebook is not None, \
@@ -91,7 +94,7 @@ class _SparseConvModule(nn.Module):
                                cg.replace(feats=f))
                 return o.feats, o.zmask
             feats, zmask = jax.checkpoint(_conv)(cg.feats, w)
-            out = ColumnGrid(feats, zmask, cg.ids, cg.cmask, bev)
+            out = ColumnGrid(feats, zmask, cg.ids, cg.cmask, cg.bev)
         else:
             stride = _pad3(self.stride)
             pad = _pad3(self.padding)
@@ -118,6 +121,21 @@ class _SparseConvModule(nn.Module):
             x = nn.relu(x)
         x = jnp.where(out.zmask[..., None], x, 0.0).astype(cg.feats.dtype)
         return out.replace(feats=x)
+
+    def _dense_conv(self, dg: DenseGrid, w) -> DenseGrid:
+        """Dense-grid conv dispatch (exact spconv semantics; see
+        ops/sparse_dense.py). SubM keeps the active set; everything else
+        (strided downsamples, the z-only conv_out) recomputes the output
+        mask via reduce_window."""
+        if self.conv_type == "SubMConv3d":
+            return jax.checkpoint(
+                lambda f, ww: subm_conv_dense(dg.replace(feats=f), ww))(
+                    dg.feats, w)
+        stride = _pad3(self.stride)
+        pad = _pad3(self.padding)
+        return jax.checkpoint(
+            lambda f, ww: sparse_conv_dense(dg.replace(feats=f), ww,
+                                            stride, pad))(dg.feats, w)
 
     def _win_conv(self, cg: WinGrid, w, rulebook) -> WinGrid:
         """Window-engine conv dispatch (same semantics as the column
@@ -211,6 +229,14 @@ class SparseEncoder(nn.Module):
     engine: str = "columns"
     win_widths: Sequence[int] = (16, 16, 16, 12)
     win_align: int = 8
+    # Hybrid engine: encoder stages >= this number run as masked dense
+    # XLA 3D convs (ops/sparse_dense.py) — exact spconv semantics, no
+    # capacity caps, MXU-bound instead of gather-bound. Stage numbering:
+    # 0 = dense from conv_input; k in [1, n_stages] = stage k's blocks on
+    # (the strided conv INTO stage k stays on the sparse engine). 99 =
+    # never. Occupancy rises with depth, so the measured crossover sits
+    # at the deep stages (PERF.md round-4 table).
+    dense_from_stage: int = 99
 
     @nn.compact
     def __call__(self, voxel_features: jnp.ndarray, coors: jnp.ndarray,
@@ -247,11 +273,19 @@ class SparseEncoder(nn.Module):
         # dense BEV keeps the reference's exact C_out * nz_out channels
         z_log = grid[0]
 
+        dense_from = int(self.dense_from_stage)
+        if dense_from < 99:
+            assert self.engine == "columns", \
+                "dense_from_stage composes with the column engine"
+
         # each stage's subm convs run on the x-dilated column table; the
         # dilation + y-rulebook are rebuilt only after a strided conv
         # changes the BEV footprint (spconv indice_key reuse semantics).
         if not win:
-            cg, rulebook = _vmap_dilate(cg, dil_cap_for(0))
+            if dense_from <= 0:
+                cg, rulebook = columns_to_dense(cg, z_log), None
+            else:
+                cg, rulebook = _vmap_dilate(cg, dil_cap_for(0))
         # block-level remat: each residual block's z-dense activations are
         # ~365 MB at stage-0 scale; saving every conv output OOMs the
         # 16 GB chip for the train step. nn.remat keeps only block inputs
@@ -271,6 +305,8 @@ class SparseEncoder(nn.Module):
         for i, blocks in enumerate(self.encoder_channels):
             blocks = tuple(blocks)
             pads = tuple(self.encoder_paddings[i])
+            if dense_from == i + 1 and not isinstance(cg, DenseGrid):
+                cg, rulebook = columns_to_dense(cg, z_log), None
             for j, out_ch in enumerate(blocks):
                 pad = _pad3(pads[j])
                 name = f"encoder_layer{i + 1}_{j}"
@@ -284,7 +320,9 @@ class SparseEncoder(nn.Module):
                         if win else 0,
                         name=name)(cg, train=train)
                     z_log = (z_log + 2 * pad[0] - 3) // 2 + 1
-                    if win:
+                    if isinstance(cg, DenseGrid):
+                        pass
+                    elif win:
                         rulebook = jax.vmap(win_rulebook)(cg)
                     else:
                         cg, rulebook = _vmap_dilate(cg, dil_cap_for(i))
@@ -300,7 +338,13 @@ class SparseEncoder(nn.Module):
                             if win else 0,
                             name=name)(cg, train=train)
                         z_log = (z_log + 2 * pad[0] - 3) // 2 + 1
-                        if win:
+                        if isinstance(cg, DenseGrid):
+                            pass
+                        elif dense_from <= i + 2:
+                            # next stage is dense: convert now, skip the
+                            # dilation rebuild entirely
+                            cg, rulebook = columns_to_dense(cg, z_log), None
+                        elif win:
                             rulebook = jax.vmap(win_rulebook)(cg)
                         else:
                             cg, rulebook = _vmap_dilate(cg,
@@ -328,7 +372,8 @@ class SparseEncoder(nn.Module):
             # expand windows into the common [0, z_log) frame for the
             # z-only conv_out and the dense scatter
             cg = jax.vmap(lambda g: to_common_frame(g, z_log))(cg)
-        elif cg.feats.shape[2] != z_log:  # drop masked z-pad cells so the
+        elif isinstance(cg, ColumnGrid) and \
+                cg.feats.shape[2] != z_log:  # drop masked z-pad cells so the
             cg = cg.replace(feats=cg.feats[:, :, :z_log],   # dense BEV has
                             zmask=cg.zmask[:, :, :z_log])   # exact channels
         out = _SparseConvModule(
@@ -340,7 +385,10 @@ class SparseEncoder(nn.Module):
         # (B, ny, nx, Z*C) with out[..., z*C:(z+1)*C] = feats[:, z] —
         # channels-last depth concat, matching the reference's
         # N,C*D,H,W (`sparse_encoder.py:135-137`).
-        dense = _vmap_cols(win_to_dense if win else column_to_dense, out)
+        if isinstance(out, DenseGrid):
+            dense = dense_to_bev(out)
+        else:
+            dense = _vmap_cols(win_to_dense if win else column_to_dense, out)
         if self.return_intermediate:
             return dense, encode_features
         return dense

@@ -1,0 +1,129 @@
+"""Dense-grid stage engine for the sparse 3D conv encoder.
+
+At the deep encoder stages the BEV occupancy rises (stage 3: ~43% of
+360x360 columns active, stage 4: ~70% of 180x180), so a plain dense XLA
+3D convolution on the MXU beats the gather-based column engine
+(`ops/sparse_cols.py`), whose cost is bandwidth-bound at ~75-136 GB/s
+per fat-row gather regardless of occupancy. This module provides the
+dense counterpart with EXACT spconv semantics (parity:
+`/root/reference/mmdet3d/models/middle_encoders/sparse_encoder.py:108`,
+spconv SubMConv3d/SparseConv3d):
+
+- inactive sites hold zero features, so a dense convolution already
+  computes the same sums as the sparse gather-GEMM;
+- submanifold convs keep the input active set: mask the dense output
+  with the input site mask;
+- strided sparse convs activate every output site whose receptive field
+  touches an input site: the output mask is a max-pool (reduce_window)
+  of the input mask with the conv's window/stride/padding.
+
+Unlike the column engine there is NO capacity anywhere — no column cap,
+no dilation cap, no drops. The encoder converts from the column engine
+to this one at a configured stage boundary (`SparseEncoder.
+dense_from_stage`); the measured crossover lives in PERF.md.
+
+Layout: (B, H, W, D, C) — "NHWDC" — so the conversion from the column
+engine is one row-scatter (no transpose) and the final BEV output
+`(B, H, W, D*C)` is a reshape. XLA's conv accepts the spatial
+permutation directly via dimension_numbers.
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+
+from .sparse_cols import ColumnGrid
+
+_DIMNUM = ("NHWDC", "HWDIO", "NHWDC")
+
+
+@flax.struct.dataclass
+class DenseGrid:
+    """Batched dense voxel grid with an active-site mask.
+
+    Invariant: ``feats`` is zero at every inactive site.
+    """
+    feats: jnp.ndarray   # (B, H, W, D, C)
+    zmask: jnp.ndarray   # (B, H, W, D) bool
+
+
+def columns_to_dense(cg: ColumnGrid, z_logical: int) -> DenseGrid:
+    """Batched ColumnGrid (leading vmap axis) -> DenseGrid.
+
+    Slices the column engine's lane-alignment z padding back to the
+    logical extent (pad cells are masked-off zeros, so this is lossless).
+    One scatter of (Vc, z*C) rows per sample — same primitive as
+    `column_to_dense`.
+    """
+    ny, nx = cg.bev
+    zl = min(cg.feats.shape[2], int(z_logical))
+
+    def one(feats, zmask, ids, cmask):
+        vc, _, c = feats.shape
+        rows = feats[:, :zl].reshape(vc, zl * c)
+        out_ids = jnp.where(cmask, ids, ny * nx)
+        flat = jnp.zeros((ny * nx + 1, zl * c), feats.dtype)
+        flat = flat.at[out_ids].set(rows, mode="drop", unique_indices=True,
+                                    indices_are_sorted=True)
+        mrows = zmask[:, :zl]
+        mflat = jnp.zeros((ny * nx + 1, zl), bool)
+        mflat = mflat.at[out_ids].set(mrows, mode="drop",
+                                      unique_indices=True,
+                                      indices_are_sorted=True)
+        return (flat[:-1].reshape(ny, nx, zl, c),
+                mflat[:-1].reshape(ny, nx, zl))
+
+    feats, zmask = jax.vmap(one)(cg.feats, cg.zmask, cg.ids, cg.cmask)
+    return DenseGrid(feats, zmask)
+
+
+def _conv(x: jnp.ndarray, w: jnp.ndarray, stride: Tuple[int, int, int],
+          pad: Tuple[int, int, int]) -> jnp.ndarray:
+    """3D conv on (B, H, W, D, C); w is (kz, ky, kx, Cin, Cout) like the
+    column engine (z-major), transposed here to HWDIO."""
+    sz, sy, sx = stride
+    pz, py, px = pad
+    return jax.lax.conv_general_dilated(
+        x, w.transpose(1, 2, 0, 3, 4).astype(x.dtype),
+        window_strides=(sy, sx, sz),
+        padding=[(py, py), (px, px), (pz, pz)],
+        dimension_numbers=_DIMNUM,
+        preferred_element_type=x.dtype)
+
+
+def subm_conv_dense(dg: DenseGrid, weight: jnp.ndarray) -> DenseGrid:
+    """Submanifold conv: active set unchanged; weight (kz,ky,kx,Cin,Cout)
+    applied 'same' with z padding kz//2 (matching `subm_conv_col`)."""
+    kz, ky, kx, _, _ = weight.shape
+    out = _conv(dg.feats, weight, (1, 1, 1), (kz // 2, ky // 2, kx // 2))
+    out = jnp.where(dg.zmask[..., None], out, 0.0).astype(dg.feats.dtype)
+    return DenseGrid(out, dg.zmask)
+
+
+def sparse_conv_dense(dg: DenseGrid, weight: jnp.ndarray, stride,
+                      padding) -> DenseGrid:
+    """Strided sparse conv: output site active iff any input site lies in
+    its receptive field (spconv SparseConv3d)."""
+    kz, ky, kx, _, _ = weight.shape
+    s = (stride,) * 3 if isinstance(stride, int) else tuple(stride)
+    p = (padding,) * 3 if isinstance(padding, int) else tuple(padding)
+    sz, sy, sx = (int(v) for v in s)
+    pz, py, px = (int(v) for v in p)
+    out = _conv(dg.feats, weight, (sz, sy, sx), (pz, py, px))
+    zmask = jax.lax.reduce_window(
+        dg.zmask, False, jax.lax.bitwise_or,
+        window_dimensions=(1, ky, kx, kz),
+        window_strides=(1, sy, sx, sz),
+        padding=((0, 0), (py, py), (px, px), (pz, pz)))
+    out = jnp.where(zmask[..., None], out, 0.0).astype(dg.feats.dtype)
+    return DenseGrid(out, zmask)
+
+
+def dense_to_bev(dg: DenseGrid) -> jnp.ndarray:
+    """(B, H, W, D, C) -> (B, H, W, D*C) with out[..., z*C:(z+1)*C] =
+    feats[..., z, :] — identical channel order to `column_to_dense`."""
+    b, h, w, d, c = dg.feats.shape
+    return dg.feats.reshape(b, h, w, d * c)

@@ -1,0 +1,107 @@
+"""Dense-stage hybrid SparseEncoder vs the pure column engine.
+
+`dense_from_stage=k` runs encoder stages >= k as masked dense XLA 3D
+convs (ops/sparse_dense.py). On a fixture whose active set fits every
+capacity, both engines implement the same spconv semantics
+(`mmdet3d/models/middle_encoders/sparse_encoder.py:108`) and must agree
+end-to-end; the parameter trees are identical, so one init drives both.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import isfusion_tpu.models  # noqa: F401  (register modules)
+from isfusion_tpu.registry import MIDDLE_ENCODERS, build_from_cfg
+
+from test_sparse_encoder_window import GRID, make_inputs  # noqa: E402
+
+
+def make_encoder(block_type, dense_from_stage=99, dilation_ratio=2.5):
+    return build_from_cfg(dict(
+        type="SparseEncoder", in_channels=6,
+        sparse_shape=list(GRID), base_channels=8, output_channels=16,
+        encoder_channels=((8, 8), (16, 16), (16, 16), (16, 16)),
+        encoder_paddings=((1, 1), (1, 1, 1)[:2], (1, 1), ((0, 1, 1), 1)),
+        block_type=block_type, engine="columns",
+        dense_from_stage=dense_from_stage, dilation_ratio=dilation_ratio,
+        norm_cfg=dict(type="BN1d", eps=1e-3, momentum=0.01),
+    ), MIDDLE_ENCODERS)
+
+
+@pytest.mark.parametrize("block_type,dense_from", [
+    ("basicblock", 0),       # everything dense, incl. conv_input
+    ("basicblock", 1),       # dense from stage-1 blocks
+    ("basicblock", 3),       # hybrid: columns stages 1-2, dense 3-4
+    ("conv_module", 2),
+])
+def test_dense_hybrid_matches_columns(block_type, dense_from):
+    feats, coords, mask = make_inputs()
+    bf, bc, bm = feats[None], coords[None], mask[None]
+    enc_c = make_encoder(block_type)
+    enc_d = make_encoder(block_type, dense_from_stage=dense_from)
+    var = enc_c.init(jax.random.PRNGKey(0), bf, bc, bm, train=False)
+    var_d = enc_d.init(jax.random.PRNGKey(0), bf, bc, bm, train=False)
+    assert jax.tree_util.tree_structure(var) == \
+        jax.tree_util.tree_structure(var_d)
+    out_c = np.asarray(enc_c.apply(var, bf, bc, bm, train=False))
+    out_d = np.asarray(enc_d.apply(var, bf, bc, bm, train=False))
+    assert out_c.shape == out_d.shape
+    np.testing.assert_allclose(out_d, out_c, rtol=2e-4, atol=2e-4)
+
+
+def test_dense_hybrid_grads_finite():
+    feats, coords, mask = make_inputs(seed=2)
+    enc = make_encoder("basicblock", dense_from_stage=2)
+    bf, bc, bm = feats[None], coords[None], mask[None]
+    var = enc.init(jax.random.PRNGKey(0), bf, bc, bm, train=True)
+
+    def loss(p):
+        out, _ = enc.apply(
+            {**var, "params": p}, bf, bc, bm, train=True,
+            mutable=["batch_stats"])
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    g = jax.grad(loss)(var["params"])
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    assert sum(float(jnp.abs(l).sum()) for l in leaves) > 0
+
+
+def test_dense_strided_mask_semantics():
+    """An output site of a strided sparse conv is active iff its receptive
+    field touches an input site — check the reduce_window mask against a
+    hand-built occupancy on a tiny grid."""
+    from isfusion_tpu.ops.sparse_dense import DenseGrid, sparse_conv_dense
+
+    rng = np.random.default_rng(0)
+    z, y, x, c = 8, 10, 10, 4
+    zmask = np.zeros((1, y, x, z), bool)
+    sites = [(2, 3, 1), (5, 5, 4), (9, 0, 7)]   # (y, x, z)
+    for yy, xx, zz in sites:
+        zmask[0, yy, xx, zz] = True
+    feats = rng.normal(size=(1, y, x, z, c)).astype(np.float32)
+    feats[~zmask] = 0.0
+    w = rng.normal(size=(3, 3, 3, c, 6)).astype(np.float32)
+    out = sparse_conv_dense(DenseGrid(jnp.asarray(feats),
+                                      jnp.asarray(zmask)), jnp.asarray(w),
+                            stride=(2, 2, 2), padding=(1, 1, 1))
+    om = np.asarray(out.zmask[0])
+    # brute-force expected mask
+    exp = np.zeros_like(om)
+    zo, yo, xo = om.shape[2], om.shape[0], om.shape[1]
+    for oy in range(yo):
+        for ox in range(xo):
+            for oz in range(zo):
+                hit = False
+                for ky in range(3):
+                    for kx in range(3):
+                        for kz in range(3):
+                            iy, ix, iz = (oy * 2 - 1 + ky, ox * 2 - 1 + kx,
+                                          oz * 2 - 1 + kz)
+                            if 0 <= iy < y and 0 <= ix < x and 0 <= iz < z:
+                                hit |= bool(zmask[0, iy, ix, iz])
+                exp[oy, ox, oz] = hit
+    np.testing.assert_array_equal(om, exp)
+    # features vanish exactly off the active set
+    assert np.all(np.asarray(out.feats)[0][~om] == 0.0)

@@ -27,6 +27,17 @@ VARIANTS = {
     "window": dict(engine="window"),
     "columns": dict(engine="columns"),
     "columns20": dict(engine="columns", dilation_ratio=2.0),
+    # dense-stage hybrids (ops/sparse_dense.py): stages >= k as masked
+    # dense XLA 3D convs, no capacity caps. columns20 base so the sparse
+    # stages are drop-free too — the A/B is exact-vs-exact.
+    "dense1": dict(engine="columns", dilation_ratio=2.0,
+                   dense_from_stage=1),
+    "dense2": dict(engine="columns", dilation_ratio=2.0,
+                   dense_from_stage=2),
+    "dense3": dict(engine="columns", dilation_ratio=2.0,
+                   dense_from_stage=3),
+    "dense4": dict(engine="columns", dilation_ratio=2.0,
+                   dense_from_stage=4),
 }
 
 
@@ -51,27 +62,35 @@ def main():
     dv = jax.device_put(dv)
 
     for name in names:
-        over = VARIANTS[name]
-        c = Config.fromfile(ISFUSION_CFG)
-        mc = dict(c.model)
-        mc["pts_middle_encoder"] = dict(mc["pts_middle_encoder"], **over)
-        mdl = build_detector(
-            mc, train_cfg=c.get("train_cfg"), test_cfg=c.get("test_cfg"))
-        variables = jax.jit(lambda b: mdl.init(
-            jax.random.PRNGKey(0), b, train=False, mode="feats"))(batch)
-        f = jax.jit(lambda ff, d: mdl.apply(
-            variables, ff, d.voxel_coors, d.voxel_mask,
-            method=lambda m2, x, cc, mm: m2.pts_middle_encoder_m(
-                x, cc, mm)))
+        try:
+            _run_variant(name, batch, feats, dv)
+        except Exception as e:  # per-variant OOM must not kill the sweep
+            print(f"{name:12s}   FAILED  {type(e).__name__}: "
+                  f"{str(e)[:160]}", flush=True)
+
+
+def _run_variant(name, batch, feats, dv):
+    over = VARIANTS[name]
+    c = Config.fromfile(ISFUSION_CFG)
+    mc = dict(c.model)
+    mc["pts_middle_encoder"] = dict(mc["pts_middle_encoder"], **over)
+    mdl = build_detector(
+        mc, train_cfg=c.get("train_cfg"), test_cfg=c.get("test_cfg"))
+    variables = jax.jit(lambda b: mdl.init(
+        jax.random.PRNGKey(0), b, train=False, mode="feats"))(batch)
+    f = jax.jit(lambda ff, d: mdl.apply(
+        variables, ff, d.voxel_coors, d.voxel_mask,
+        method=lambda m2, x, cc, mm: m2.pts_middle_encoder_m(
+            x, cc, mm)))
+    out = f(feats, dv)
+    jax.device_get(out.ravel()[0])
+    t0 = time.perf_counter()
+    n = 4
+    for _ in range(n):
         out = f(feats, dv)
-        jax.device_get(out.ravel()[0])
-        t0 = time.perf_counter()
-        n = 4
-        for _ in range(n):
-            out = f(feats, dv)
-        jax.device_get(out.ravel()[0])
-        dt = (time.perf_counter() - t0) / n
-        print(f"{name:12s} {dt*1e3:8.1f} ms  {dict(over)}", flush=True)
+    jax.device_get(out.ravel()[0])
+    dt = (time.perf_counter() - t0) / n
+    print(f"{name:12s} {dt*1e3:8.1f} ms  {dict(over)}", flush=True)
 
 
 if __name__ == "__main__":
