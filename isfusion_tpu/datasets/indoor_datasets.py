@@ -15,6 +15,8 @@ from .custom_3d import Custom3DDataset
 
 
 class _IndoorDataset(Custom3DDataset):
+    ALIGNED = False   # ScanNet: ann_info carries axis_align_matrix
+
     def __init__(self, ann_file: str, pipeline=None, data_root: str = "",
                  classes=None, box_type_3d: str = "Depth", **kwargs):
         super().__init__(data_root=data_root, ann_file=ann_file,
@@ -51,7 +53,14 @@ class _IndoorDataset(Custom3DDataset):
                             np.int64)
         gt = self.box_type_3d(boxes, box_dim=boxes.shape[-1],
                               origin=(0.5, 0.5, 0.5))
-        return dict(gt_bboxes_3d=gt, gt_labels_3d=labels, gt_names=names)
+        ann = dict(gt_bboxes_3d=gt, gt_labels_3d=labels, gt_names=names)
+        if self.ALIGNED:
+            # ScanNet scenes carry a scene-to-axis-aligned 4x4 (consumed
+            # by GlobalAlignment, reference scannet_dataset.py ann_info);
+            # identity when the info pkl predates alignment export
+            ann["axis_align_matrix"] = np.asarray(
+                annos.get("axis_align_matrix", np.eye(4)), np.float32)
+        return ann
 
     def evaluate(self, results: List[dict], metric=None, **kwargs) -> dict:
         from ..core.evaluation.indoor_eval import indoor_eval
@@ -75,6 +84,7 @@ class _IndoorDataset(Custom3DDataset):
 
 @DATASETS.register_module()
 class ScanNetDataset(_IndoorDataset):
+    ALIGNED = True
     CLASSES = ('cabinet', 'bed', 'chair', 'sofa', 'table', 'door',
                'window', 'bookshelf', 'picture', 'counter', 'desk',
                'curtain', 'refrigerator', 'showercurtrain', 'toilet',

@@ -460,3 +460,282 @@ class ObjectSampleV2:
         if self.sample_2d and sampled.get("imgs") is not None:
             data["img"] = sampled["imgs"]
         return data
+
+
+@PIPELINES.register_module()
+class GlobalAlignment:
+    """Axis-align the scene with the dataset-provided 4x4 matrix
+    (`transforms_3d.py:1577`) — ScanNet detection trains/evaluates in the
+    axis-aligned frame, so this must run before box generation. The
+    transform is not recorded (never reversed; aligned GT is canonical).
+    """
+
+    def __init__(self, rotation_axis: int):
+        self.rotation_axis = int(rotation_axis)
+
+    def _check_rot_mat(self, rot: np.ndarray) -> None:
+        valid = np.allclose(np.linalg.det(rot), 1.0, atol=1e-5)
+        unit = np.zeros(3, rot.dtype)
+        unit[self.rotation_axis] = 1.0
+        valid &= np.allclose(rot[self.rotation_axis, :], unit)
+        valid &= np.allclose(rot[:, self.rotation_axis], unit)
+        assert valid, f"invalid rotation matrix {rot}"
+
+    def __call__(self, data: dict) -> dict:
+        ann = data.get("ann_info", {})
+        assert "axis_align_matrix" in ann, \
+            "axis_align_matrix is not provided in GlobalAlignment"
+        mat = np.asarray(ann["axis_align_matrix"], np.float32)
+        assert mat.shape == (4, 4), f"invalid axis_align_matrix {mat.shape}"
+        rot, trans = mat[:3, :3], mat[:3, 3]
+        self._check_rot_mat(rot)
+        # aligned = R @ p (column vectors) = p_row @ R^T; points.rotate
+        # applies xyz @ arg, so pass R^T
+        data["points"].rotate(rot.T)
+        data["points"].translate(trans)
+        return data
+
+
+@PIPELINES.register_module()
+class RandomDropPointsColor:
+    """Zero all point colors with probability ``drop_ratio``
+    (`transforms_3d.py:840`; PAConv scene-seg augmentation)."""
+
+    def __init__(self, drop_ratio: float = 0.2):
+        assert 0 <= drop_ratio <= 1, f"invalid drop_ratio {drop_ratio}"
+        self.drop_ratio = float(drop_ratio)
+
+    def __call__(self, data: dict) -> dict:
+        pts = data["points"]
+        assert pts.attribute_dims and "color" in pts.attribute_dims, \
+            "Expect points have color attribute"
+        # the reference keeps `rand() > 1 - ratio` (measured-better hack)
+        if np.random.rand() > 1.0 - self.drop_ratio:
+            pts.tensor[:, pts.attribute_dims["color"]] = 0.0
+        return data
+
+
+@PIPELINES.register_module()
+class RandomJitterPoints:
+    """Per-point gaussian coordinate noise, optionally clipped
+    (`transforms_3d.py:1208`; segmentation-only — boxes untouched)."""
+
+    def __init__(self, jitter_std=(0.01, 0.01, 0.01),
+                 clip_range=(-0.05, 0.05)):
+        if isinstance(jitter_std, (int, float)):
+            jitter_std = [jitter_std] * 3
+        self.jitter_std = np.asarray(jitter_std, np.float32)
+        if clip_range is not None and isinstance(clip_range, (int, float)):
+            clip_range = [-clip_range, clip_range]
+        self.clip_range = clip_range
+
+    def __call__(self, data: dict) -> dict:
+        pts = data["points"]
+        noise = np.random.randn(len(pts), 3).astype(np.float32) \
+            * self.jitter_std[None, :]
+        if self.clip_range is not None:
+            noise = np.clip(noise, self.clip_range[0], self.clip_range[1])
+        pts.translate(noise)
+        return data
+
+
+@PIPELINES.register_module()
+class BackgroundPointsFilter:
+    """Drop background points inside the enlarged-but-not-original GT
+    boxes (`transforms_3d.py:2461`): keeps clean margins around objects.
+    """
+
+    def __init__(self, bbox_enlarge_range):
+        if isinstance(bbox_enlarge_range, (int, float)):
+            bbox_enlarge_range = [float(bbox_enlarge_range)] * 3
+        self.bbox_enlarge_range = np.asarray(bbox_enlarge_range,
+                                             np.float32)[None, :]
+
+    def __call__(self, data: dict) -> dict:
+        from ...core.bbox.box_np_ops import points_in_rbbox
+        boxes = data["gt_bboxes_3d"]
+        arr = boxes.numpy().copy()
+        arr[:, :3] = boxes.gravity_center
+        enlarged = arr.copy()
+        enlarged[:, 3:6] += self.bbox_enlarge_range
+        pts = data["points"].numpy()
+        fg = points_in_rbbox(pts, arr, origin=(0.5, 0.5, 0.5)).max(1) \
+            if len(arr) else np.zeros(len(pts), bool)
+        fg_en = points_in_rbbox(pts, enlarged,
+                                origin=(0.5, 0.5, 0.5)).max(1) \
+            if len(arr) else np.zeros(len(pts), bool)
+        valid = ~(~fg & fg_en)
+        data["points"] = data["points"][valid]
+        for key in ("pts_instance_mask", "pts_semantic_mask"):
+            if data.get(key) is not None:
+                data[key] = np.asarray(data[key])[valid]
+        return data
+
+
+@PIPELINES.register_module()
+class IndoorPatchPointSample:
+    """Sample a column patch then fix the point count
+    (`transforms_3d.py:2216`; PointNet++ ScanNet recipe): pick a random
+    center, keep points in an enlarged block, accept the patch by the
+    coverage/annotation criteria, sample to ``num_points`` (duplicating
+    when short), and re-center xy (z kept). ``use_normalized_coord``
+    appends xyz / coord_max as extra features."""
+
+    def __init__(self, num_points: int, block_size: float = 1.5,
+                 sample_rate=None, ignore_index=None,
+                 use_normalized_coord: bool = False, num_try: int = 10,
+                 enlarge_size: float = 0.2, min_unique_num=None,
+                 eps: float = 1e-2):
+        self.num_points = int(num_points)
+        self.block_size = float(block_size)
+        self.ignore_index = ignore_index
+        self.use_normalized_coord = bool(use_normalized_coord)
+        self.num_try = int(num_try)
+        self.enlarge_size = float(enlarge_size) if enlarge_size else 0.0
+        self.min_unique_num = min_unique_num
+        self.eps = float(eps)
+
+    def _patch(self, coords: np.ndarray, sem: np.ndarray) -> tuple:
+        coord_max = coords.max(0)
+        coord_min = coords.min(0)
+        point_idxs = np.arange(len(coords))
+        cur_center = coords[0]
+        for _ in range(self.num_try):
+            cur_center = coords[np.random.choice(len(coords))]
+            half = np.array([self.block_size / 2, self.block_size / 2, 0.0])
+            cur_max = cur_center + half
+            cur_min = cur_center - half
+            cur_max[2], cur_min[2] = coord_max[2], coord_min[2]
+            choice = np.all((coords >= cur_min - self.enlarge_size)
+                            & (coords <= cur_max + self.enlarge_size), 1)
+            if not choice.any():
+                continue
+            cur_coords = coords[choice]
+            point_idxs = np.where(choice)[0]
+            mask = np.all((cur_coords >= cur_min - self.eps)
+                          & (cur_coords <= cur_max + self.eps), 1)
+            if self.min_unique_num is None:
+                # PointNet++ coverage test: >=2% of a 31x31x62 grid
+                vidx = np.ceil((cur_coords[mask] - cur_min)
+                               / np.maximum(cur_max - cur_min, 1e-6)
+                               * np.array([31.0, 31.0, 62.0]))
+                vidx = np.unique(vidx[:, 0] * 31 * 62 + vidx[:, 1] * 62
+                                 + vidx[:, 2])
+                flag1 = len(vidx) / (31.0 * 31.0 * 62.0) >= 0.02
+            else:
+                flag1 = mask.sum() >= self.min_unique_num
+            flag2 = True if self.ignore_index is None else \
+                np.sum(sem[choice] != self.ignore_index) / max(
+                    len(sem[choice]), 1) >= 0.7
+            if flag1 and flag2:
+                break
+        if len(point_idxs) >= self.num_points:
+            choices = np.random.choice(point_idxs, self.num_points,
+                                       replace=False)
+        else:
+            dup = np.random.choice(len(point_idxs),
+                                   self.num_points - len(point_idxs))
+            choices = point_idxs[np.concatenate(
+                [np.arange(len(point_idxs)), dup], 0)]
+        return choices, cur_center, coord_max
+
+    def __call__(self, data: dict) -> dict:
+        pts = data["points"]
+        assert "pts_semantic_mask" in data, \
+            "semantic mask should be provided in training and evaluation"
+        sem = np.asarray(data["pts_semantic_mask"])
+        coords = pts.numpy()[:, :3]
+        attrs = pts.numpy()[:, 3:]
+        choices, center, coord_max = self._patch(coords, sem)
+        sel_coords = coords[choices].copy()
+        sel_coords[:, 0] -= center[0]
+        sel_coords[:, 1] -= center[1]
+        sel_attrs = attrs[choices]
+        attribute_dims = dict(pts.attribute_dims or {})
+        if self.use_normalized_coord:
+            norm = coords[choices] / np.maximum(coord_max, 1e-6)
+            start = 3 + sel_attrs.shape[1]
+            sel_attrs = np.concatenate([sel_attrs, norm], 1)
+            attribute_dims["normalized_coord"] = [start, start + 1,
+                                                  start + 2]
+        new = np.concatenate([sel_coords, sel_attrs], 1).astype(np.float32)
+        out = pts.new_point(new)
+        out.attribute_dims = attribute_dims or None
+        data["points"] = out
+        data["pts_semantic_mask"] = sem[choices]
+        if data.get("pts_instance_mask") is not None:
+            data["pts_instance_mask"] = \
+                np.asarray(data["pts_instance_mask"])[choices]
+        return data
+
+
+@PIPELINES.register_module()
+class VoxelBasedPointSampler:
+    """Voxel-budget point sampling across sweeps (`transforms_3d.py:2526`):
+    current-sweep and previous-sweep points are voxelized separately
+    (host VoxelGenerator) and each capped to its max_voxels budget;
+    per-point mask/seg fields ride along as extra channels."""
+
+    def __init__(self, cur_sweep_cfg: dict, prev_sweep_cfg=None,
+                 time_dim: int = 3):
+        from ...core.voxel_generator import VoxelGenerator
+        self.cur_voxel_generator = VoxelGenerator(**cur_sweep_cfg)
+        self.cur_voxel_num = self.cur_voxel_generator._max_voxels
+        self.time_dim = int(time_dim)
+        if prev_sweep_cfg is not None:
+            assert prev_sweep_cfg["max_num_points"] == \
+                cur_sweep_cfg["max_num_points"]
+            self.prev_voxel_generator = VoxelGenerator(**prev_sweep_cfg)
+            self.prev_voxel_num = self.prev_voxel_generator._max_voxels
+        else:
+            self.prev_voxel_generator = None
+            self.prev_voxel_num = 0
+
+    def _sample(self, points: np.ndarray, sampler) -> np.ndarray:
+        voxels, _, _ = sampler.generate(points)
+        if voxels.shape[0] == 0:
+            return np.zeros((sampler._max_voxels, sampler._max_num_points,
+                             points.shape[-1]), points.dtype)
+        if voxels.shape[0] < sampler._max_voxels:
+            pad = np.zeros((sampler._max_voxels - voxels.shape[0],
+                            sampler._max_num_points, points.shape[-1]),
+                           points.dtype)
+            pad[:] = voxels[0]
+            voxels = np.concatenate([voxels, pad], 0)
+        return voxels
+
+    def __call__(self, data: dict) -> dict:
+        pts = data["points"]
+        original_dim = pts.shape[1]
+        arr = pts.numpy()
+        extra = [arr]
+        fields2dim = []
+        start = original_dim
+        for key in data.get("pts_mask_fields", []):
+            fields2dim.append((key, start))
+            extra.append(np.asarray(data[key])[..., None])
+            start += 1
+        for key in data.get("pts_seg_fields", []):
+            fields2dim.append((key, start))
+            extra.append(np.asarray(data[key])[..., None])
+            start += 1
+        arr = np.concatenate(extra, -1)
+        cur_flag = arr[:, self.time_dim] == 0
+        cur, prev = arr[cur_flag], arr[~cur_flag]
+        if prev.shape[0] == 0:
+            prev = cur
+        np.random.shuffle(cur)
+        np.random.shuffle(prev)
+        cur = self._sample(cur, self.cur_voxel_generator)
+        if self.prev_voxel_generator is not None:
+            prev = self._sample(prev, self.prev_voxel_generator)
+            arr = np.concatenate([cur, prev], 0)
+        else:
+            arr = cur
+        if self.cur_voxel_generator._max_num_points == 1:
+            arr = arr.squeeze(1)
+        data["points"] = pts.new_point(
+            arr[..., :original_dim].astype(np.float32))
+        for key, dim in fields2dim:
+            data[key] = arr[..., dim]
+        return data
