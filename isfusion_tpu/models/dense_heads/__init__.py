@@ -6,3 +6,4 @@ from .vote_head import VoteHead  # noqa: F401
 from .ssd_3d_head import SSD3DHead  # noqa: F401
 from .free_anchor3d_head import FreeAnchor3DHead  # noqa: F401
 from .shape_aware_head import ShapeAwareHead  # noqa: F401
+from .groupfree3d_head import GroupFree3DHead  # noqa: F401

@@ -36,63 +36,31 @@ class SSD3DNet(VoteNet):
 
 @DETECTORS.register_module()
 class GroupFree3DNet(nn.Module):
-    """Candidates + transformer decoder refinement over point features."""
+    """Single-stage Group-Free 3D detector: PointNet++ backbone + the
+    transformer-decoder GroupFree3DHead (parity:
+    `mmdet3d/models/detectors/groupfree3dnet.py` — the detector is thin;
+    KPS sampling, per-layer prediction heads, and the stage-summed loss
+    all live in `dense_heads/groupfree3d_head.py:109`)."""
 
     backbone: Optional[dict] = None
     bbox_head: Optional[dict] = None
-    num_queries: int = 64
-    num_decoder_layers: int = 2
-    hidden_dim: int = 128
     train_cfg: Optional[dict] = None
     test_cfg: Optional[dict] = None
     pretrained: Optional[str] = None
 
     def setup(self):
-        from ..transformer import TransformerDecoderLayer
         self.backbone_m = build_backbone(dict(self.backbone))
         head_cfg = dict(self.bbox_head)
+        head_cfg.setdefault("type", "GroupFree3DHead")
         head_cfg.setdefault("train_cfg", self.train_cfg)
         head_cfg.setdefault("test_cfg", self.test_cfg)
         self.bbox_head_m = build_head(head_cfg)
-        self.query_proj = nn.Dense(self.hidden_dim)
-        self.key_proj = nn.Dense(self.hidden_dim)
-        self.obj_fc = nn.Dense(1)
-        self.decoders = [TransformerDecoderLayer(
-            self.hidden_dim, 8, self.hidden_dim * 2,
-            name=f"decoder_{i}") for i in range(self.num_decoder_layers)]
-        self.out_proj = nn.Dense(self.hidden_dim)
 
     def __call__(self, batch: dict, train: bool = False,
                  mode: str = "predict"):
         feat_dict = self.backbone_m(batch["points"], batch["points_mask"],
                                     train=train)
-        xyz = feat_dict["fp_xyz"][-1]
-        feats = feat_dict["fp_features"][-1]
-        mask = feat_dict["fp_masks"][-1]
-        # KPS: top-k points by learned objectness become the queries
-        obj = self.obj_fc(feats)[..., 0]
-        obj = jnp.where(mask, obj, -1e9)
-        k = min(self.num_queries, obj.shape[-1])
-        _, topi = jax.lax.top_k(obj, k)
-        q_xyz = jnp.take_along_axis(xyz, topi[..., None], 1)
-        q = self.query_proj(
-            jnp.take_along_axis(feats, topi[..., None], 1))
-        # top_k can select padded points when valid < num_queries; carry
-        # their invalidity through the decoder and the head (r3 fix —
-        # previously all queries were forced valid and padded keys
-        # received cross-attention mass)
-        q_mask = jnp.take_along_axis(mask, topi, 1)
-        kv = self.key_proj(feats)
-        for dec in self.decoders:
-            q = dec(q, kv, q_xyz[..., :2], xyz[..., :2], train=train,
-                    key_mask=mask, query_mask=q_mask)
-        # feed refined queries through the (VoteHead-style) prediction MLPs
-        pseudo = dict(feat_dict)
-        pseudo["fp_xyz"] = feat_dict["fp_xyz"][:-1] + [q_xyz]
-        pseudo["fp_features"] = feat_dict["fp_features"][:-1] + \
-            [self.out_proj(q)]
-        pseudo["fp_masks"] = feat_dict["fp_masks"][:-1] + [q_mask]
-        preds = self.bbox_head_m(pseudo, train=train)
+        preds = self.bbox_head_m(feat_dict, train=train)
         if mode == "feats":
             return preds
         if mode == "loss":

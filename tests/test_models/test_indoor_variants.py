@@ -82,14 +82,65 @@ def test_ssd3dnet():
     assert out["bboxes"].shape == (2, 8, 7)
 
 
-def test_groupfree3dnet():
+def groupfree_head_cfg(size_cls_agnostic=True, num_layers=2):
+    return dict(
+        type="GroupFree3DHead", num_classes=NC, in_channels=32,
+        num_decoder_layers=num_layers, num_proposal=16,
+        embed_dims=32, num_heads=4, ffn_channels=64,
+        pred_layer_cfg=dict(in_channels=32,
+                            shared_conv_channels=(32, 32)),
+        bbox_coder=dict(type="GroupFree3DBBoxCoder", num_dir_bins=6,
+                        num_sizes=NC, with_rot=True,
+                        size_cls_agnostic=size_cls_agnostic,
+                        mean_sizes=[[1, 1, 1]] * NC),
+        sampling_objectness_loss=dict(type="FocalLoss", loss_weight=8.0),
+        center_loss=dict(type="SmoothL1Loss", loss_weight=10.0),
+        dir_res_loss=dict(type="SmoothL1Loss", loss_weight=10.0),
+        size_reg_loss=dict(type="SmoothL1Loss", loss_weight=10.0),
+        size_res_loss=dict(type="SmoothL1Loss", loss_weight=10.0))
+
+
+@pytest.mark.parametrize("agnostic", [True, False])
+def test_groupfree3dnet(agnostic):
     cfg = dict(
         type="GroupFree3DNet", backbone=backbone_cfg(),
-        bbox_head=votehead_cfg(), num_queries=16,
-        num_decoder_layers=1, hidden_dim=32,
-        test_cfg=dict(max_output_num=8))
+        bbox_head=groupfree_head_cfg(size_cls_agnostic=agnostic),
+        test_cfg=dict(max_output_num=8, prediction_stages="last"))
     losses, out = run_all_modes(build_detector(cfg), tiny_batch())
+    # stage-summed loss surface: KPS sampling loss + per-stage losses for
+    # proposal and both decoder layers (groupfree3d_head.py loss:420-533)
+    assert "sampling_objectness_loss" in losses
+    for prefix in ("proposal.", "s0.", "s1."):
+        assert f"{prefix}objectness_loss" in losses
+        assert f"{prefix}center_loss" in losses
+        assert f"{prefix}dir_res_loss" in losses
+        assert f"{prefix}semantic_loss" in losses
+        if agnostic:
+            assert f"{prefix}size_reg_loss" in losses
+        else:
+            assert f"{prefix}size_class_loss" in losses
+            assert f"{prefix}size_res_loss" in losses
     assert out["bboxes"].shape == (2, 8, 7)
+
+
+def test_groupfree3d_all_stage_predictions():
+    cfg = dict(
+        type="GroupFree3DNet", backbone=backbone_cfg(),
+        bbox_head=groupfree_head_cfg(),
+        test_cfg=dict(max_output_num=8, prediction_stages="all"))
+    model = build_detector(cfg)
+    batch = tiny_batch()
+    variables = model.init(jax.random.PRNGKey(0), batch, train=False,
+                           mode="feats")
+    out = model.apply(variables, batch, train=False, mode="predict")
+    assert out["bboxes"].shape == (2, 8, 7)
+    preds = model.apply(variables, batch, train=False, mode="feats")
+    # per-stage prediction heads are distinct modules fed the SAME
+    # candidates; proposal and s1 outputs must differ (refinement)
+    assert not np.allclose(np.asarray(preds["proposal.center"]),
+                           np.asarray(preds["s1.center"]))
+    # decoded query positions come from the previous stage's box
+    assert preds["s0.center"].shape == preds["proposal.center"].shape
 
 
 def test_imvotenet():
