@@ -155,8 +155,11 @@ class InsContextAtt(nn.Module):
         scene (B, H, W, C). Returns (B, N, C)."""
         b, h, w, c = scene.shape
         gy, gx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+        # (row, col) order matching the reference's effective key-pos
+        # input for a row-major src flatten (square BEV; see query_pos
+        # comment in ISFusionEncoder.instance_fusion)
         bev_pos = jnp.asarray(
-            np.stack([gx + 0.5, gy + 0.5], -1).reshape(1, h * w, 2)
+            np.stack([gy + 0.5, gx + 0.5], -1).reshape(1, h * w, 2)
             / float(self.bev_size), jnp.float32)
         key_pos = PositionEmbeddingLearned(
             self.embed_dims, dtype=self.dtype, name="key_pos_embed")(
@@ -404,7 +407,14 @@ class ISFusionEncoder(nn.Module):
                 top_index = (top % (h * w)).astype(jnp.int32)
                 ys = (top_index // w).astype(jnp.float32) + 0.5
                 xs = (top_index % w).astype(jnp.float32) + 0.5
-                query_pos = jnp.stack([xs, ys], -1)   # (B, N, 2)
+                # (row, col) order — the reference's query_pos_new swap
+                # (`fusion_encoder.py:1136-1139`). Its deformable sampler
+                # then reads coord 0 as the x axis of the value map, i.e.
+                # the reference samples context at the MIRRORED location;
+                # published weights were trained under that convention, so
+                # conversion parity requires reproducing it (oracle:
+                # tests/test_runtime/test_fusion_parity.py).
+                query_pos = jnp.stack([ys, xs], -1)   # (B, N, 2)
 
                 x_scene = ConvModule(half, kernel_size=3, padding=1,
                                      norm_cfg=norm2d, dtype=dt,

@@ -310,7 +310,9 @@ def convert_isfusion_torch_to_flax(sd: Dict[str, "object"],
                     if p[2] in ("key_pos_embed", "query_pos_embed"):
                         return posembed(f"{ib}.{p[2]}", p[3], p[-1], col)
                     lm = re.match(r"layer_(\d+)", p[2])
-                    lb = f"{ib}.decoder.layers.{lm.group(1)}"
+                    # reference InsContextAtt holds layers directly
+                    # (`fusion_encoder.py:946`: self.layers = _get_clones)
+                    lb = f"{ib}.layers.{lm.group(1)}"
                     sub = p[3]
                     if sub == "cross_attn":
                         return deform_attn(f"{lb}.cross_attn", p[4], p[-1])
