@@ -7,15 +7,14 @@ per active BEV column; measured on ray-cast nuScenes-scale clouds the
 median active z-span per column is 1 cell and the 99.95th percentile 24,
 while the stored extent is 48 — so >2/3 of every byte moved and every MXU
 flop is spent on provably-empty z cells. It also runs convs on an
-x-DILATED table (2.0x the active columns at stage 0) whose configured
-capacity silently dropped ~38% of active columns at full bench scale.
+x-DILATED table (2.0x the active columns at stage 0) whose construction
+costs a measured 16-54 ms of sorts PER STAGE (stage_profile.py) and whose
+configured capacity silently dropped ~38% of active columns at 1.35x.
 
 This engine stores, per active column, a fixed-width z WINDOW:
 
 - ``feats (Vc, W, C)`` with per-column ``zoff``: global z = zoff + w.
-- zoff is a multiple of ``align`` (chosen so align * C >= 256 elements:
-  every window-relative gather start stays 512-byte aligned, the TPU
-  gather engine's fast path — measured 136 vs 88 GB/s round 2).
+- zoff is a multiple of ``align``.
 - GUARD INVARIANT: active cells only at w in [1, W-2]. Construction and
   `rewindow` set zoff = max(0, align_down(zmin - 1)) and drop cells past
   w = W-2 (capacity-overflow semantics, like the reference's
@@ -31,22 +30,26 @@ A submanifold 3^3 conv runs on the ACTIVE table only (no dilation):
   deltas (multiples of align; |delta| >= W means zero overlap, exact
   under the guard).
 - each of the 6 (dy, dx) side taps is ONE fat 2D row gather of the
-  neighbor's (W*C) window row, then the same shift-select re-basing
-  fused into the im2col assembly. Measured on v5e
-  (tools/analysis_tools/micro_win_gather.py): 2D row gathers run at
-  96-200 GB/s (faster for wider rows), while a vmapped 1D dynamic-slice
-  gather — which could have folded the re-base into the gather start —
-  lowers ~80x slower (~1750 ns/row). Hence: gather rows, re-base with
-  selects.
-- all 9 taps concatenate into a (Vc, W, 9*Cin) im2col feeding a single
-  dense z-conv with K = 9*Cin on the MXU (vs the dilated engine's
-  K = 3*Cin on a 2x table: half the FLOPs, 3x the contraction depth).
+  neighbor's (W*C) window row, then the same shift-select re-basing.
+- all 9 taps stack into a (Vc, 9, W, Cin) im2col feeding ONE conv with
+  a (9, kz) spatial kernel (VALID over the tap axis) — a K = 9*kz*Cin
+  MXU contraction.
+
+ROUND-4 LAYOUT FIX (the round-3 engine measured 1580 ms vs 681 ms for
+the column engine at full scale): every shift/re-base/mask op previously
+ran on (Vc, W, C) tensors whose minor dim C = 32/64 filled only a
+quarter/half of the TPU's 128-wide lane dimension, so each of the many
+elementwise passes was 2-4x lane-padded. All shift machinery now
+operates on FLATTENED (Vc, W*C) rows — W*C >= 512 fills the lanes, and a
+z-shift by s becomes an in-row roll by s*C with a flat-index validity
+mask. 3D shapes appear only at conv boundaries, where the conv picks its
+own layout.
 
 Semantics match spconv (oracle-tested against dense conv in
 `tests/test_ops/test_sparse_win.py`): subm convs preserve the active
 set; strided convs activate every output site whose receptive field
-touches an input site (windows halve through z-stride and are
-re-guarded by `rewindow`). All shapes static; batch via vmap.
+touches an input site (windows halve through z-stride and are re-guarded
+by `rewindow`). All shapes static; batch via vmap.
 """
 from __future__ import annotations
 
@@ -63,7 +66,7 @@ from .sparse import unique_sorted_ids
 _INT_MAX = jnp.iinfo(jnp.int32).max
 
 # (dy, dx) taps needing a table lookup; (0, 0) is the column itself and
-# (0, +-1) are rolls. Order matches _w_flat / _im2col.
+# (0, +-1) are rolls. Order matches _im2col's row-major (dy, dx) layout.
 SIDE_TAPS = ((-1, -1), (-1, 0), (-1, 1), (1, -1), (1, 0), (1, 1))
 
 
@@ -94,14 +97,11 @@ def _align_down(v: jnp.ndarray, a: int) -> jnp.ndarray:
     return (v // a) * a
 
 
-def _gather_rows(arr: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
-    """Row gather of (V, W, C) via a flattened-2D view (3D-operand TPU
-    gathers lower ~25x slower; rows here are W*C = 512-2048 elements,
-    the gather engine's 96-200 GB/s regime)."""
-    v, w, c = arr.shape
-    flat = arr.reshape(v, w * c)
+def _gather_rows_flat(flat: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Row gather of an already-flat (V, W*C) table (2D-operand gathers
+    run at the engine's 96-200 GB/s; wider rows are faster)."""
     return flat.at[idx].get(unique_indices=False,
-                            mode="promise_in_bounds").reshape(-1, w, c)
+                            mode="promise_in_bounds")
 
 
 def build_win_grid(feats: jnp.ndarray, coords: jnp.ndarray,
@@ -153,55 +153,51 @@ def _roll_match(ids: jnp.ndarray, cmask: jnp.ndarray, nx: int,
     return match & cmask & (x > 0)
 
 
-def _zshift(x: jnp.ndarray, s: int) -> jnp.ndarray:
-    """out[:, w] = x[:, w - s] with zero fill."""
+def _zshift_flat(xf: jnp.ndarray, s: int, w: int, c: int) -> jnp.ndarray:
+    """Window shift on flat rows: out[:, w'] = x[:, w' - s] with zero
+    fill, i.e. an in-row roll by s*c plus a flat-index validity mask
+    (lane-dense: rows are w*c >= 512 elements)."""
     if s == 0:
-        return x
-    w = x.shape[1]
-    rolled = jnp.roll(x, s, axis=1)
-    wi = jnp.arange(w)
-    ok = (wi >= s) if s > 0 else (wi < w + s)
-    return jnp.where(ok.reshape((1, w) + (1,) * (x.ndim - 2)), rolled, 0.0)
+        return xf
+    rolled = jnp.roll(xf, s * c, axis=1)
+    fi = jnp.arange(w * c)
+    ok = (fi >= s * c) if s > 0 else (fi < (w + s) * c)
+    return jnp.where(ok[None], rolled, 0.0)
 
 
-def _rebase_cases(nbr: jnp.ndarray, delta: jnp.ndarray, window: int,
-                  align: int) -> jnp.ndarray:
-    """Express neighbor rows (V, W, C) in the receiver's frame via a
-    shift-select over the possible deltas: out[w] = nbr[w - delta].
+def _rebase_cases_flat(nbrf: jnp.ndarray, delta: jnp.ndarray, w: int,
+                       c: int, align: int) -> jnp.ndarray:
+    """Express flat neighbor rows (V, W*C) in the receiver's frame via a
+    shift-select over the possible deltas: out[w'] = nbr[w' - delta].
     |delta| >= W has no overlap (exact under the guard). XLA fuses the
-    few-way select chain of static shifts into one pass."""
-    out = jnp.where((delta == 0)[:, None, None], nbr, 0.0)
-    for k in range(1, -(-window // align)):
+    few-way select chain of static rolls into one pass."""
+    out = jnp.where((delta == 0)[:, None], nbrf, 0.0)
+    for k in range(1, -(-w // align)):
         for s in (k * align, -k * align):
-            if abs(s) >= window:
+            if abs(s) >= w:
                 continue
-            out = out + jnp.where((delta == s)[:, None, None],
-                                  _zshift(nbr, s), 0.0)
+            out = out + jnp.where((delta == s)[:, None],
+                                  _zshift_flat(nbrf, s, w, c), 0.0)
     return out
 
 
-def _row_shift_cases(x: jnp.ndarray, shift: jnp.ndarray, out_w: int,
-                     candidates) -> jnp.ndarray:
-    """Per-row static-case shift into a possibly different width:
-    out[v, wi] = x[v, wi + shift[v]] when shift[v] is in ``candidates``
-    (zero rows otherwise). x is (V, W[, C]); out is (V, out_w[, C])."""
-    w = x.shape[1]
+def _row_shift_cases_flat(xf: jnp.ndarray, shift: jnp.ndarray, w: int,
+                          c: int, out_w: int, candidates) -> jnp.ndarray:
+    """Per-row static-case shift into a possibly different width, on
+    flat rows: out[v, wi] = x[v, wi + shift[v]] when shift[v] is in
+    ``candidates`` (zero rows otherwise). xf (V, W*C) -> (V, out_w*C)."""
     pad_to = max(w, out_w + int(max(candidates)))
-    if x.ndim == 3:
-        xp = jnp.pad(x, ((0, 0), (0, pad_to - w), (0, 0)))
-    else:
-        xp = jnp.pad(x, ((0, 0), (0, pad_to - w)))
-    wi = jnp.arange(pad_to)
+    xp = jnp.pad(xf, ((0, 0), (0, (pad_to - w) * c)))
+    fi = jnp.arange(pad_to * c)
+    wi = fi // c
     out = None
     for s in candidates:
         s = int(s)
-        rolled = jnp.roll(xp, -s, axis=1) if s != 0 else xp
+        rolled = jnp.roll(xp, -s * c, axis=1) if s != 0 else xp
         ok = (wi + s >= 0) & (wi + s < w)
-        okr = ok.reshape((1, pad_to) + (1,) * (x.ndim - 2))
-        term = jnp.where((shift == s).reshape(
-            (-1,) + (1,) * (x.ndim - 1)) & okr, rolled, 0.0)
+        term = jnp.where((shift == s)[:, None] & ok[None], rolled, 0.0)
         out = term if out is None else out + term
-    return out[:, :out_w]
+    return out[:, :out_w * c]
 
 
 def win_rulebook(cg: WinGrid) -> Tuple[jnp.ndarray, jnp.ndarray,
@@ -231,17 +227,17 @@ def win_rulebook(cg: WinGrid) -> Tuple[jnp.ndarray, jnp.ndarray,
 _OPP = (5, 4, 3, 2, 1, 0)
 
 
-def _side_tap_impl(t: int, align: int, feats: jnp.ndarray,
+def _side_tap_impl(t: int, align: int, w: int, c: int, featsf: jnp.ndarray,
                    slots6: jnp.ndarray, found6: jnp.ndarray,
                    delta6: jnp.ndarray) -> jnp.ndarray:
-    w = feats.shape[1]
-    rows = _gather_rows(feats, jnp.where(found6[t], slots6[t], 0))
-    rows = jnp.where(found6[t][:, None, None], rows, 0.0)
-    return _rebase_cases(rows, jnp.clip(delta6[t], -w, w), w, align)
+    rows = _gather_rows_flat(featsf, jnp.where(found6[t], slots6[t], 0))
+    rows = jnp.where(found6[t][:, None], rows, 0.0)
+    return _rebase_cases_flat(rows, jnp.clip(delta6[t], -w, w), w, c, align)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
-def _side_tap_sym(t: int, align: int, feats, slots6, found6, delta6):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def _side_tap_sym(t: int, align: int, w: int, c: int, featsf, slots6,
+                  found6, delta6):
     """One side tap with a SCATTER-FREE backward.
 
     The tap adjacency is an involution on the sorted unique id table:
@@ -251,17 +247,18 @@ def _side_tap_sym(t: int, align: int, feats, slots6, found6, delta6):
     therefore the SAME gather+rebase applied to the cotangent with the
     opposite tap's rulebook — a gather (~21-35 ns/row) instead of the
     scatter-add (~64-72 ns/row) autodiff would emit."""
-    return _side_tap_impl(t, align, feats, slots6, found6, delta6)
+    return _side_tap_impl(t, align, w, c, featsf, slots6, found6, delta6)
 
 
-def _side_tap_sym_fwd(t, align, feats, slots6, found6, delta6):
-    out = _side_tap_impl(t, align, feats, slots6, found6, delta6)
+def _side_tap_sym_fwd(t, align, w, c, featsf, slots6, found6, delta6):
+    out = _side_tap_impl(t, align, w, c, featsf, slots6, found6, delta6)
     return out, (slots6, found6, delta6)
 
 
-def _side_tap_sym_bwd(t, align, res, ct):
+def _side_tap_sym_bwd(t, align, w, c, res, ct):
     slots6, found6, delta6 = res
-    d_feats = _side_tap_impl(_OPP[t], align, ct, slots6, found6, delta6)
+    d_feats = _side_tap_impl(_OPP[t], align, w, c, ct, slots6, found6,
+                             delta6)
 
     def f0(x):
         return np.zeros(x.shape, jax.dtypes.float0)
@@ -272,58 +269,53 @@ def _side_tap_sym_bwd(t, align, res, ct):
 _side_tap_sym.defvjp(_side_tap_sym_fwd, _side_tap_sym_bwd)
 
 
-def _side_taps(cg: WinGrid, slots: jnp.ndarray, found: jnp.ndarray,
-               delta: jnp.ndarray) -> list:
-    """All 6 side taps re-based into each receiver's window frame: one
-    fat row gather each, then shift-select re-basing (fused into the
-    downstream im2col concat). Backward is gather-based too (see
-    `_side_tap_sym`)."""
-    return [_side_tap_sym(t, cg.align, cg.feats, slots, found, delta)
-            for t in range(len(SIDE_TAPS))]
-
-
-def _x_taps(cg: WinGrid) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """(hm, hp): x-1 / x+1 neighbor windows re-based to each receiver,
-    built from rolls (exact on a sorted unique id table)."""
+def _x_taps_flat(cg: WinGrid, featsf: jnp.ndarray
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(hm, hp) flat: x-1 / x+1 neighbor windows re-based to each
+    receiver, built from rolls (exact on a sorted unique id table)."""
     ny, nx = cg.bev
     del ny
-    w = cg.feats.shape[1]
+    vc, w, c = cg.feats.shape
     m_p = _roll_match(cg.ids, cg.cmask, nx, +1)
     m_m = _roll_match(cg.ids, cg.cmask, nx, -1)
     d_p = jnp.where(m_p, jnp.roll(cg.zoff, -1) - cg.zoff, w)
     d_m = jnp.where(m_m, jnp.roll(cg.zoff, 1) - cg.zoff, w)
-    hp = jnp.where(m_p[:, None, None], jnp.roll(cg.feats, -1, axis=0), 0.0)
-    hm = jnp.where(m_m[:, None, None], jnp.roll(cg.feats, 1, axis=0), 0.0)
-    return (_rebase_cases(hm, d_m, w, cg.align),
-            _rebase_cases(hp, d_p, w, cg.align))
+    hp = jnp.where(m_p[:, None], jnp.roll(featsf, -1, axis=0), 0.0)
+    hm = jnp.where(m_m[:, None], jnp.roll(featsf, 1, axis=0), 0.0)
+    return (_rebase_cases_flat(hm, d_m, w, c, cg.align),
+            _rebase_cases_flat(hp, d_p, w, c, cg.align))
 
 
-def _w_flat(weight: jnp.ndarray) -> jnp.ndarray:
-    """(kz, 3, 3, Cin, Cout) -> (kz, 9*Cin, Cout), row-major (dy, dx)
-    matching _im2col's tap order."""
-    kz, ky, kx, cin, cout = weight.shape
-    return weight.reshape(kz, ky * kx * cin, cout)
-
-
-def _im2col(cg: WinGrid, rulebook) -> jnp.ndarray:
-    """(Vc, W, 9*Cin) im2col in row-major (dy, dx) tap order."""
+def _im2col9(cg: WinGrid, rulebook) -> jnp.ndarray:
+    """(Vc, 9, W, Cin) im2col: tap-major stack in row-major (dy, dx)
+    order. Built entirely from flat (V, W*C) rows; the single reshape at
+    the end feeds the conv, which picks its own layout."""
+    vc, w, c = cg.feats.shape
+    featsf = cg.feats.reshape(vc, w * c)
     slots, found, delta = rulebook
-    side = _side_taps(cg, slots, found, delta)
-    hm, hp = _x_taps(cg)
+    side = [_side_tap_sym(t, cg.align, w, c, featsf, slots, found, delta)
+            for t in range(len(SIDE_TAPS))]
+    hm, hp = _x_taps_flat(cg, featsf)
     taps = [side[0], side[1], side[2],      # dy = -1
-            hm, cg.feats, hp,               # dy = 0
+            hm, featsf, hp,                 # dy = 0
             side[3], side[4], side[5]]      # dy = +1
-    return jnp.concatenate(taps, axis=-1)
+    return jnp.concatenate(taps, axis=-1).reshape(vc, 9, w, c)
 
 
-def _zconv(x: jnp.ndarray, w: jnp.ndarray, stride: int = 1,
+def _conv9(g9: jnp.ndarray, weight: jnp.ndarray, stride: int = 1,
            padding: int = 1) -> jnp.ndarray:
-    """Dense 1D conv along the window: (Vc, W, K) x (kz, K, Cout)."""
-    return jax.lax.conv_general_dilated(
-        x, w.astype(x.dtype), window_strides=(stride,),
-        padding=[(padding, padding)],
-        dimension_numbers=("NWC", "WIO", "NWC"),
-        preferred_element_type=x.dtype)
+    """One conv over the (9, W) spatial pair: g9 (V, 9, W, Cin) x weight
+    (kz, 3, 3, Cin, Cout) -> (V, W', Cout). The tap axis is a size-9
+    spatial dim consumed VALID by a size-9 kernel, so the whole 3^3
+    kernel is a single K = 9*kz*Cin MXU contraction."""
+    kz, ky, kx, cin, cout = weight.shape
+    w9 = weight.transpose(1, 2, 0, 3, 4).reshape(ky * kx, kz, cin, cout)
+    out = jax.lax.conv_general_dilated(
+        g9, w9.astype(g9.dtype), window_strides=(1, stride),
+        padding=((0, 0), (padding, padding)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=g9.dtype)
+    return out[:, 0]
 
 
 def subm_conv_win(cg: WinGrid, weight: jnp.ndarray,
@@ -334,7 +326,7 @@ def subm_conv_win(cg: WinGrid, weight: jnp.ndarray,
     assert (ky, kx) == (3, 3), "window engine is specialized to 3x3 BEV"
     if rulebook is None:
         rulebook = win_rulebook(cg)
-    acc = _zconv(_im2col(cg, rulebook), _w_flat(weight), padding=kz // 2)
+    acc = _conv9(_im2col9(cg, rulebook), weight, padding=kz // 2)
     acc = jnp.where(cg.zmask[..., None], acc, 0.0)
     return acc.astype(cg.feats.dtype)
 
@@ -343,7 +335,7 @@ def rewindow(cg: WinGrid, align: int, target_w: int = 0) -> WinGrid:
     """Re-establish the guard invariant (and optionally change the window
     width): shift each column so zoff' = max(0, align_down(zmin-1,
     align)), dropping cells past the new w = W-2 edge. Pure per-row
-    shift-selects — no gather."""
+    flat shift-selects — no gather."""
     vc, w, c = cg.feats.shape
     wt = target_w or w
     wi_in = jnp.arange(w)[None, :]
@@ -354,9 +346,10 @@ def rewindow(cg: WinGrid, align: int, target_w: int = 0) -> WinGrid:
     delta = jnp.where(cg.cmask & has, new_zoff - cg.zoff, 0)
     new_zoff = cg.zoff + delta
     cands = list(range(-align, w, align))
-    rows = _row_shift_cases(cg.feats, delta, wt, cands)
-    mrows = _row_shift_cases(cg.zmask.astype(cg.feats.dtype), delta, wt,
-                             cands)
+    rows = _row_shift_cases_flat(cg.feats.reshape(vc, w * c), delta, w, c,
+                                 wt, cands).reshape(vc, wt, c)
+    mrows = _row_shift_cases_flat(cg.zmask.astype(cg.feats.dtype), delta,
+                                  w, 1, wt, cands)
     wi = jnp.arange(wt)[None, :]
     ok = (wi <= wt - 2) & ((wi >= 1) | (new_zoff == 0)[:, None])
     zmask = (mrows > 0.5) & ok & cg.cmask[:, None]
@@ -374,18 +367,18 @@ def sparse_conv_win(cg: WinGrid, weight: jnp.ndarray, stride, padding,
 
     weight (kz, ky, kx, Cin, Cout) with ky = kx = 3. Per output column
     the window base derives from the minimum found-tap window; taps are
-    gathered re-based into that frame (aligned starts: the z base is
-    zoff_out * sz, a multiple of the input alignment) and the output is
-    re-guarded with `rewindow`. Tap cells falling outside the gathered
-    frame produce no output sites (capacity-overflow semantics, exact:
-    both features and the site mask are derived from the same gathered
-    windows). ``z_total`` is the INPUT grid's global z extent — output
-    sites are clamped to z_out < (z_total + 2*pz - kz)//sz + 1, the
-    dense/spconv output-size formula. ``spread`` widens the gathered
-    input slice beyond one window so taps whose windows sit up to
-    ``spread`` cells above the lowest tap are fully covered (measured:
-    97.7%% of neighbor-window deltas are <= 8 at stage 0; taps beyond
-    slice coverage drop cells, same overflow semantics)."""
+    gathered re-based into that frame (the z base is zoff_out * sz, a
+    multiple of the input alignment) and the output is re-guarded with
+    `rewindow`. Tap cells falling outside the gathered frame produce no
+    output sites (capacity-overflow semantics, exact: both features and
+    the site mask are derived from the same gathered windows).
+    ``z_total`` is the INPUT grid's global z extent — output sites are
+    clamped to z_out < (z_total + 2*pz - kz)//sz + 1, the dense/spconv
+    output-size formula. ``spread`` widens the gathered input slice
+    beyond one window so taps whose windows sit up to ``spread`` cells
+    above the lowest tap are fully covered (measured: 97.7%% of
+    neighbor-window deltas are <= 8 at stage 0; taps beyond slice
+    coverage drop cells, same overflow semantics)."""
     kz, ky, kx, cin, cout = weight.shape
     assert ky == 3 and kx == 3
     s = (stride,) * 3 if isinstance(stride, int) else tuple(stride)
@@ -451,32 +444,36 @@ def sparse_conv_win(cg: WinGrid, weight: jnp.ndarray, stride, padding,
     ws = w + int(spread)         # re-based input frame length
     # pack the site mask as one extra feature channel so each tap costs
     # ONE fat row gather (separate thin mask gathers are row-bound)
-    packed = jnp.concatenate(
+    cp = c + 1
+    packedf = jnp.concatenate(
         [cg.feats, (cg.zmask & cg.cmask[:, None]).astype(dt)[..., None]],
-        axis=-1)
+        axis=-1).reshape(vc, w * cp)
     # tap windows sit at zoff_j >= base, so the re-base shift
     # dstart = base - zoff_j is <= 0; taps deeper than the frame drop
-    # (consistently in features AND mask)
+    # (consistently in features AND mask). All 9 tap frames stack into
+    # one (Vo, 9, ws, C+1) block so the conv is a single K = 9*kz*Cin
+    # contraction (tap order row-major (dy, dx) matching the weight
+    # reshape in _conv9).
     cands = list(range(0, -ws, -max(1, cg.align)))
-    acc = None
-    zm = None
+    frames = []
     for t in range(ky * kx):
-        ky_, kx_ = t // kx, t % kx
         dstart = jnp.clip(base - cg.zoff[j[t]], -ws, 0)
-        rows = _gather_rows(packed, jnp.where(found[t], j[t], 0))
-        rows = jnp.where(found[t][:, None, None], rows, 0.0)
-        frame = _row_shift_cases(rows, dstart, ws, cands)
-        fr, mrows = frame[..., :c], frame[..., c]
-        contrib = _zconv(fr, weight[:, ky_, kx_], stride=sz, padding=pz)
-        mc = _zconv(mrows[..., None], jnp.ones((kz, 1, 1), dt),
-                    stride=sz, padding=pz)
-        lw = contrib.shape[1]
-        if lw < w_out:
-            contrib = jnp.pad(contrib, ((0, 0), (0, w_out - lw), (0, 0)))
-            mc = jnp.pad(mc, ((0, 0), (0, w_out - lw), (0, 0)))
-        acc = contrib[:, :w_out] if acc is None else acc + \
-            contrib[:, :w_out]
-        zm = mc[:, :w_out] if zm is None else zm + mc[:, :w_out]
+        rows = _gather_rows_flat(packedf, jnp.where(found[t], j[t], 0))
+        rows = jnp.where(found[t][:, None], rows, 0.0)
+        frames.append(_row_shift_cases_flat(rows, dstart, w, cp, ws,
+                                            cands))
+    g9 = jnp.concatenate(frames, axis=-1).reshape(-1, 9, ws, cp)
+    acc = _conv9(g9[..., :c], weight, stride=sz, padding=pz)
+    # one mask channel summed across all 9 taps: conv9 with a ones
+    # kernel over (tap, kz)
+    ones_w = jnp.ones((kz, ky, kx, 1, 1), dt)
+    zm = _conv9(g9[..., c:], ones_w, stride=sz, padding=pz)
+    lw = acc.shape[1]
+    if lw < w_out:
+        acc = jnp.pad(acc, ((0, 0), (0, w_out - lw), (0, 0)))
+        zm = jnp.pad(zm, ((0, 0), (0, w_out - lw), (0, 0)))
+    acc = acc[:, :w_out]
+    zm = zm[:, :w_out]
     z_out_total = (int(z_total) + 2 * pz - kz) // sz + 1
     wi_o = jnp.arange(w_out)[None, :]
     out_zmask = (zm[..., 0] > 0.5) & out_cmask[:, None] & \
@@ -494,10 +491,17 @@ def zconv_win(cg: WinGrid, weight: jnp.ndarray, stride: int,
     the column set is unchanged, z convolved/strided within the common
     frame. Requires zoff == 0 (call `to_common_frame` first)."""
     kz = weight.shape[0]
-    acc = _zconv(cg.feats, weight[:, 0, 0], stride=stride, padding=padding)
-    zm = _zconv(cg.zmask.astype(cg.feats.dtype)[..., None],
-                jnp.ones((kz, 1, 1), cg.feats.dtype), stride=stride,
-                padding=padding)
+
+    def conv1(x, ww):
+        return jax.lax.conv_general_dilated(
+            x, ww.astype(x.dtype), window_strides=(stride,),
+            padding=[(padding, padding)],
+            dimension_numbers=("NWC", "WIO", "NWC"),
+            preferred_element_type=x.dtype)
+
+    acc = conv1(cg.feats, weight[:, 0, 0])
+    zm = conv1(cg.zmask.astype(cg.feats.dtype)[..., None],
+               jnp.ones((kz, 1, 1), cg.feats.dtype))
     out_zmask = (zm[..., 0] > 0.5) & cg.cmask[:, None]
     feats = jnp.where(out_zmask[..., None], acc, 0.0).astype(cg.feats.dtype)
     return WinGrid(feats, out_zmask, cg.ids, cg.cmask,
@@ -506,16 +510,17 @@ def zconv_win(cg: WinGrid, weight: jnp.ndarray, stride: int,
 
 def to_common_frame(cg: WinGrid, z_total: int) -> WinGrid:
     """Expand per-column windows into one common frame [0, z_total)
-    (zoff = 0 for every column): out[w'] = feats[w' - zoff]. Pure
+    (zoff = 0 for every column): out[w'] = feats[w' - zoff]. Pure flat
     shift-selects over the possible zoff values (small by this point in
     the encoder)."""
     vc, w, c = cg.feats.shape
     a = max(1, cg.align)
     d = -jnp.clip(cg.zoff, 0, z_total)
     cands = list(range(0, -(z_total + 1), -a))
-    rows = _row_shift_cases(cg.feats, d, z_total, cands)
-    mrows = _row_shift_cases(cg.zmask.astype(cg.feats.dtype), d, z_total,
-                             cands)
+    rows = _row_shift_cases_flat(cg.feats.reshape(vc, w * c), d, w, c,
+                                 z_total, cands).reshape(vc, z_total, c)
+    mrows = _row_shift_cases_flat(cg.zmask.astype(cg.feats.dtype), d, w,
+                                  1, z_total, cands)
     zmask = (mrows > 0.5) & cg.cmask[:, None]
     feats = jnp.where(zmask[..., None], rows, 0.0)
     return WinGrid(feats.astype(cg.feats.dtype), zmask, cg.ids, cg.cmask,

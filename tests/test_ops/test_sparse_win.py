@@ -269,21 +269,23 @@ def test_side_tap_custom_vjp_matches_autodiff():
     cg = build_win_grid(feats, coords, mask, GRID_T, col_cap=64,
                         window=16)
     slots, found, delta = win_rulebook(cg)
+    vc, w, c = cg.feats.shape
+    featsf = cg.feats.reshape(vc, w * c)
     rng = np.random.default_rng(5)
     probe = jnp.asarray(rng.normal(
-        size=(6,) + cg.feats.shape).astype(np.float32))
+        size=(6,) + featsf.shape).astype(np.float32))
     for t in range(6):
         def loss_custom(f, t=t):
-            return jnp.sum(_side_tap_sym(t, cg.align, f, slots, found,
-                                         delta) * probe[t])
+            return jnp.sum(_side_tap_sym(t, cg.align, w, c, f, slots,
+                                         found, delta) * probe[t])
 
         def loss_plain(f, t=t):
-            return jnp.sum(_side_tap_impl(t, cg.align, f, slots, found,
-                                          delta) * probe[t])
+            return jnp.sum(_side_tap_impl(t, cg.align, w, c, f, slots,
+                                          found, delta) * probe[t])
 
         np.testing.assert_allclose(
-            np.asarray(jax.grad(loss_custom)(cg.feats)),
-            np.asarray(jax.grad(loss_plain)(cg.feats)),
+            np.asarray(jax.grad(loss_custom)(featsf)),
+            np.asarray(jax.grad(loss_plain)(featsf)),
             rtol=1e-5, atol=1e-5)
 
 
