@@ -69,6 +69,26 @@ def main():
                   f"{str(e)[:160]}", flush=True)
 
 
+def _fabricated_vars(mdl, batch):
+    """eval_shape + host-fabricated params: avoids compiling the whole
+    init program per variant (minutes for the window engine)."""
+    import numpy as np
+    shapes = jax.eval_shape(lambda b: mdl.init(
+        jax.random.PRNGKey(0), b, train=False, mode="feats"), batch)
+    rng = np.random.default_rng(0)
+
+    def fab(path, s):
+        name = str(path[-1].key) if hasattr(path[-1], "key") else ""
+        if name in ("scale", "gamma") or "var" in name:
+            return jax.numpy.ones(s.shape, s.dtype)
+        if name in ("bias", "beta") or "mean" in name:
+            return jax.numpy.zeros(s.shape, s.dtype)
+        return jax.numpy.asarray(0.02 * rng.standard_normal(s.shape),
+                                 s.dtype)
+
+    return jax.tree_util.tree_map_with_path(fab, shapes)
+
+
 def _run_variant(name, batch, feats, dv):
     over = VARIANTS[name]
     c = Config.fromfile(ISFUSION_CFG)
@@ -76,8 +96,7 @@ def _run_variant(name, batch, feats, dv):
     mc["pts_middle_encoder"] = dict(mc["pts_middle_encoder"], **over)
     mdl = build_detector(
         mc, train_cfg=c.get("train_cfg"), test_cfg=c.get("test_cfg"))
-    variables = jax.jit(lambda b: mdl.init(
-        jax.random.PRNGKey(0), b, train=False, mode="feats"))(batch)
+    variables = _fabricated_vars(mdl, batch)
     f = jax.jit(lambda ff, d: mdl.apply(
         variables, ff, d.voxel_coors, d.voxel_mask,
         method=lambda m2, x, cc, mm: m2.pts_middle_encoder_m(
