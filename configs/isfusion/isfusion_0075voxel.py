@@ -100,20 +100,27 @@ model = dict(
         # the round-1 voxel caps dropped ~2/3 of stage-1 sites.
         stage_cap_ratios=(0.9, 1.0, 0.5, 0.25),
         # dilated-table capacity: at ray-cast bench density (250k pts)
-        # 1.35 drops ~38% of active columns from stage 1 on (overflow-drop
-        # semantics; NOTE the reference itself drops nothing here — its
-        # dynamic voxelization uses max_voxels=(-1,-1), and the 120k cap
-        # above is this repo's static-shape adaptation).
-        # dilation_ratio=2.0 holds every active column (943 ms vs 681 ms
-        # whole-encoder, ab_sparse_engine.py)
-        dilation_ratio=1.35,
+        # the true x-dilation factor is ~2.0; a smaller ratio DROPS active
+        # columns from stage 1 on (1.35 dropped ~38%, an accuracy
+        # divergence the reference does not have — its dynamic
+        # voxelization uses max_voxels=(-1,-1) and drops nothing; the
+        # 120k cap above is this repo's static-shape adaptation). 2.0 is
+        # drop-free at bench density: EXACTNESS OVER the ~260 ms it costs
+        # (942 vs 681 ms whole-encoder, ab_sparse_engine.py, round 4).
+        dilation_ratio=2.0,
+        # stages >= 3 run as masked dense XLA 3D convs: at C>=128 the
+        # native conv hits 112-162 TF/s (micro_conv_forms.py) and dense3
+        # measured 914 ms vs 942 all-columns — exact spconv semantics,
+        # no capacity caps (ops/sparse_dense.py).
+        dense_from_stage=3,
         # engine='window' (ops/sparse_win.py) cuts z traffic 3x on paper
-        # but measured 1580 ms on the v5e chip vs 681 ms for 'columns':
-        # its (Vc, W, C) layouts put C=32/64 in the 128-wide lane dim at
-        # stages 0-1, so every rebase/shift/mask op runs 2-4x lane-padded
-        # and the 9-tap im2col materializes more HBM traffic than the
-        # windows save. Kept as a config option; 'columns' is the
-        # measured-faster engine at full scale.
+        # but measures 1544-1766 ms vs 681/942 for 'columns' at full
+        # scale across three layout/shifter redesigns (round-4 per-op
+        # decomposition in micro_win_ops.py / micro_win_stages.py: the
+        # subm conv is competitive at 19.5 ms, but every strided
+        # downsample pays ~134 ms of structure rebuilds - sorts,
+        # searchsorted, frame re-basing). Kept as a config option;
+        # 'columns' is the measured-faster engine at full scale.
         engine='columns',
         win_widths=(16, 16, 12, 8),
         compute_dtype='bfloat16'),

@@ -23,7 +23,8 @@ import jax
 import jax.numpy as jnp
 
 from ...registry import DETECTORS
-from ...ops.voxel import voxelize_dynamic, voxelize_hard
+from ...ops.voxel import (voxelize_dynamic, voxelize_dynamic_planned,
+                          voxelize_hard)
 from ..builder import build_fusion_layer
 from .mvx_two_stage import MVXTwoStageDetector
 from .voxelnet import _capacity
@@ -92,13 +93,30 @@ class ISFusionDetector(MVXTwoStageDetector):
         cap = _capacity(vl.get("max_voxels", 120000), train)
         if cap <= 0:
             cap = 120000
-        dv = jax.vmap(lambda p, m: voxelize_dynamic(
-            p, m, vl["point_cloud_range"], vl["voxel_size"], cap))(
-                points, points_mask)
+        # host-precomputed structure plan (ops/host_plan.py): the data
+        # pipeline computes all voxel/column/rulebook integer structure
+        # on host, overlapped with device compute — the device skips its
+        # sort paths (~200 ms/sample of the flagship encoder)
+        plan = batch.get("sparse_plan")
+        if plan is not None:
+            dv = jax.vmap(lambda p, m, pl: voxelize_dynamic_planned(
+                p, m, vl["point_cloud_range"], vl["voxel_size"], pl))(
+                    points, points_mask,
+                    {k: plan[k] for k in ("vidx", "pmask", "vox_coors",
+                                          "vmask", "num_voxels")})
+        else:
+            dv = jax.vmap(lambda p, m: voxelize_dynamic(
+                p, m, vl["point_cloud_range"], vl["voxel_size"], cap))(
+                    points, points_mask)
         feats = self.pts_voxel_encoder_m(
             points, dv.point_voxel_index, dv.voxel_coors, train=train)
-        lidar_bev = self.pts_middle_encoder_m(
-            feats, dv.voxel_coors, dv.voxel_mask, train=train)
+        if plan is not None:
+            lidar_bev = self.pts_middle_encoder_m(
+                feats, dv.voxel_coors, dv.voxel_mask, train=train,
+                plan=plan)
+        else:
+            lidar_bev = self.pts_middle_encoder_m(
+                feats, dv.voxel_coors, dv.voxel_mask, train=train)
 
         fe = dict(self.fusion_encoder)
         n_pillar_pts = int(fe.get("num_points_in_pillar", 12))

@@ -23,7 +23,8 @@ import jax.numpy as jnp
 
 from ...registry import MIDDLE_ENCODERS
 from ...ops.sparse_cols import (ColumnGrid, build_column_grid,
-                                column_to_dense, dilate_columns,
+                                build_column_grid_planned, column_to_dense,
+                                dilate_columns, dilate_columns_planned,
                                 sparse_conv_col, sparse_conv_col_dil,
                                 subm_conv_col_dil, zconv_col)
 from ...ops.sparse_dense import (DenseGrid, columns_to_dense, dense_to_bev,
@@ -40,9 +41,33 @@ def _vmap_cols(fn, cg: ColumnGrid, *extra):
     return jax.vmap(fn)(cg, *extra)
 
 
-def _vmap_dilate(cg: ColumnGrid, dil_cap: int):
-    """Batched x-dilation; returns (dilated ColumnGrid, y-rulebook)."""
+def _vmap_dilate(cg: ColumnGrid, dil_cap: int, plan=None):
+    """Batched x-dilation; returns (dilated ColumnGrid, y-rulebook).
+    With a host plan slice the sorts are precomputed
+    (`ops/host_plan.dilate_plan`)."""
+    if plan is not None:
+        return jax.vmap(dilate_columns_planned)(cg, plan)
     return jax.vmap(lambda g: dilate_columns(g, dil_cap))(cg)
+
+
+_DIL_KEYS = ("dil_ids", "dil_cmask", "embed_slot", "y_slots", "y_found")
+_STR_KEYS = ("out_ids", "out_cmask", "tap_j", "tap_found")
+
+
+def _plan_slice(plan, prefix: str, keys):
+    """Extract `{prefix}_{key}` entries of a host plan as a sub-dict.
+
+    A stage with NO entries is legitimate (the host walk stops at the
+    dense cutover — its strided conv runs on a DenseGrid and ignores the
+    plan); a PARTIAL stage means the plan/config walks diverged — loud."""
+    if plan is None:
+        return None
+    missing = [k for k in keys if f"{prefix}_{k}" not in plan]
+    if len(missing) == len(keys):
+        return None
+    assert not missing, \
+        f"host plan lacks {prefix}_{{{missing}}} — plan/config walk mismatch"
+    return {k: plan[f"{prefix}_{k}"] for k in keys}
 
 
 def _pad3(p) -> Tuple[int, int, int]:
@@ -65,7 +90,8 @@ class _SparseConvModule(nn.Module):
     out_window: int = 0       # window engine: strided output width
 
     @nn.compact
-    def __call__(self, cg, train: bool = False, rulebook=None):
+    def __call__(self, cg, train: bool = False, rulebook=None,
+                 str_plan=None):
         cin = cg.feats.shape[-1]
         w = self.param(
             "kernel",
@@ -105,10 +131,17 @@ class _SparseConvModule(nn.Module):
             conv_fn = sparse_conv_col_dil if tuple(
                 self.kernel_size)[1:] == (3, 3) else sparse_conv_col
 
-            out = jax.checkpoint(
-                lambda f, ww: _vmap_cols(lambda g: conv_fn(
-                    g, ww, stride, pad, out_cap), cg.replace(feats=f)))(
-                        cg.feats, w)
+            if conv_fn is sparse_conv_col_dil and str_plan is not None:
+                out = jax.checkpoint(
+                    lambda f, ww: jax.vmap(
+                        lambda g, pl: sparse_conv_col_dil(
+                            g, ww, stride, pad, out_cap, pl))(
+                        cg.replace(feats=f), str_plan))(cg.feats, w)
+            else:
+                out = jax.checkpoint(
+                    lambda f, ww: _vmap_cols(lambda g: conv_fn(
+                        g, ww, stride, pad, out_cap), cg.replace(feats=f)))(
+                            cg.feats, w)
         x = out.feats
         if self.norm_cfg is not None:  # noqa: SIM108  (shared tail)
             cfg = dict(self.norm_cfg)
@@ -240,7 +273,7 @@ class SparseEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, voxel_features: jnp.ndarray, coors: jnp.ndarray,
-                 voxel_mask: jnp.ndarray, train: bool = False):
+                 voxel_mask: jnp.ndarray, train: bool = False, plan=None):
         norm_cfg = dict(self.norm_cfg or
                         dict(type="BN1d", eps=1e-3, momentum=0.01))
         grid = tuple(int(g) for g in self.sparse_shape)
@@ -257,6 +290,8 @@ class SparseEncoder(nn.Module):
             return max(int(cap_for(stage) * self.dilation_ratio) // 8 * 8, 8)
 
         win = self.engine == "window"
+        if plan is not None:
+            assert not win, "host plans cover the column engine"
         if win:
             widths = tuple(int(x) for x in self.win_widths)
             cg = jax.vmap(lambda f, c, m: build_win_grid(
@@ -264,6 +299,11 @@ class SparseEncoder(nn.Module):
                 align=int(self.win_align)))(voxel_features, coors,
                                             voxel_mask)
             rulebook = jax.vmap(win_rulebook)(cg)
+        elif plan is not None:
+            cg = jax.vmap(lambda f, pl: build_column_grid_planned(
+                f, pl, grid, cap_for(0), z_pad_to=self.z_pad_to))(
+                    voxel_features,
+                    {k: plan[k] for k in ("col_ids", "cmask", "vox_slot")})
         else:
             cg = jax.vmap(lambda f, c, m: build_column_grid(
                 f, c, m, grid, cap_for(0),
@@ -285,7 +325,9 @@ class SparseEncoder(nn.Module):
             if dense_from <= 0:
                 cg, rulebook = columns_to_dense(cg, z_log), None
             else:
-                cg, rulebook = _vmap_dilate(cg, dil_cap_for(0))
+                cg, rulebook = _vmap_dilate(
+                    cg, dil_cap_for(0),
+                    _plan_slice(plan, "s0", _DIL_KEYS))
         # block-level remat: each residual block's z-dense activations are
         # ~365 MB at stage-0 scale; saving every conv output OOMs the
         # 16 GB chip for the train step. nn.remat keeps only block inputs
@@ -318,14 +360,17 @@ class SparseEncoder(nn.Module):
                         z_total=z_log,
                         out_window=widths[min(i, len(widths) - 1)]
                         if win else 0,
-                        name=name)(cg, train=train)
+                        name=name)(cg, train=train, str_plan=_plan_slice(
+                            plan, f"str{i}", _STR_KEYS))
                     z_log = (z_log + 2 * pad[0] - 3) // 2 + 1
                     if isinstance(cg, DenseGrid):
                         pass
                     elif win:
                         rulebook = jax.vmap(win_rulebook)(cg)
                     else:
-                        cg, rulebook = _vmap_dilate(cg, dil_cap_for(i))
+                        cg, rulebook = _vmap_dilate(
+                            cg, dil_cap_for(i),
+                            _plan_slice(plan, f"s{i}", _DIL_KEYS))
                 elif self.block_type == "basicblock":
                     if j == len(blocks) - 1 and \
                             i != len(self.encoder_channels) - 1:
@@ -336,7 +381,9 @@ class SparseEncoder(nn.Module):
                             z_total=z_log,
                             out_window=widths[min(i + 1, len(widths) - 1)]
                             if win else 0,
-                            name=name)(cg, train=train)
+                            name=name)(cg, train=train,
+                                       str_plan=_plan_slice(
+                                           plan, f"str{i + 1}", _STR_KEYS))
                         z_log = (z_log + 2 * pad[0] - 3) // 2 + 1
                         if isinstance(cg, DenseGrid):
                             pass
@@ -347,8 +394,9 @@ class SparseEncoder(nn.Module):
                         elif win:
                             rulebook = jax.vmap(win_rulebook)(cg)
                         else:
-                            cg, rulebook = _vmap_dilate(cg,
-                                                        dil_cap_for(i + 1))
+                            cg, rulebook = _vmap_dilate(
+                                cg, dil_cap_for(i + 1),
+                                _plan_slice(plan, f"s{i + 1}", _DIL_KEYS))
                     else:
                         if in_ch != out_ch:
                             cg = _SparseConvModule(

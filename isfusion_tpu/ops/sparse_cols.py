@@ -101,6 +101,47 @@ def build_column_grid(feats: jnp.ndarray, coords: jnp.ndarray,
                       col_ids, cmask, (ny, nx))
 
 
+def build_column_grid_planned(feats: jnp.ndarray, plan: dict,
+                              grid: Sequence[int], col_cap: int,
+                              z_pad_to: int = 1) -> ColumnGrid:
+    """`build_column_grid` from a host plan (`ops/host_plan.column_plan`)
+    keyed by the voxel table: `vox_slot` is each voxel row's flat
+    destination slot * nz_padded + z (trash = col_cap * nz), so the
+    build is ONE scatter — the device sort/searchsorted is gone."""
+    nz, ny, nx = (int(g) for g in grid)
+    nz = -(-nz // int(z_pad_to)) * int(z_pad_to)
+    v, c = feats.shape
+    flat = plan["vox_slot"]
+    ok = flat < col_cap * nz
+    fbuf = jnp.zeros((col_cap * nz + 1, c), feats.dtype)
+    fbuf = fbuf.at[flat].set(jnp.where(ok[:, None], feats, 0.0),
+                             mode="drop", unique_indices=True)
+    zbuf = jnp.zeros((col_cap * nz + 1,), bool).at[flat].set(
+        ok, mode="drop", unique_indices=True)
+    return ColumnGrid(fbuf[:-1].reshape(col_cap, nz, c),
+                      zbuf[:-1].reshape(col_cap, nz),
+                      plan["col_ids"], plan["cmask"], (ny, nx))
+
+
+def dilate_columns_planned(cg: ColumnGrid, plan: dict
+                           ) -> Tuple[ColumnGrid,
+                                      Tuple[jnp.ndarray, jnp.ndarray]]:
+    """`dilate_columns` from a host plan (`ops/host_plan.dilate_plan`):
+    the dilated table ids, the embed slots and the y+-1 rulebook arrive
+    precomputed; the device keeps only the feature/mask scatter."""
+    vc, z, c = cg.feats.shape
+    dil_ids = plan["dil_ids"]
+    dil_cap = dil_ids.shape[0]
+    slot = plan["embed_slot"]
+    feats = jnp.zeros((dil_cap + 1, z * c), cg.feats.dtype).at[slot].set(
+        cg.feats.reshape(vc, z * c), mode="drop",
+        unique_indices=True)[:-1].reshape(dil_cap, z, c)
+    zmask = jnp.zeros((dil_cap + 1, z), bool).at[slot].set(
+        cg.zmask, mode="drop", unique_indices=True)[:-1]
+    out = ColumnGrid(feats, zmask, dil_ids, plan["dil_cmask"], cg.bev)
+    return out, (plan["y_slots"], plan["y_found"])
+
+
 def _roll_match(ids: jnp.ndarray, cmask: jnp.ndarray, nx: int,
                 direction: int) -> jnp.ndarray:
     """Valid-mask for the x+-1 neighbor being the adjacent table slot."""
@@ -297,7 +338,8 @@ def subm_conv_col_dil(cg: ColumnGrid, weight: jnp.ndarray,
 
 
 def sparse_conv_col_dil(cg: ColumnGrid, weight: jnp.ndarray, stride,
-                        padding, out_col_cap: int) -> ColumnGrid:
+                        padding, out_col_cap: int,
+                        plan: Optional[dict] = None) -> ColumnGrid:
     """Strided sparse conv from an x-dilated input grid.
 
     Same u-factorization as `subm_conv_col_dil`: one fat z-conv (with z
@@ -305,6 +347,10 @@ def sparse_conv_col_dil(cg: ColumnGrid, weight: jnp.ndarray, stride,
     column; each output column then gathers 3 rows (one per ky) at its
     center input x — 3 gathers instead of 9. Requires sx such that the
     kx taps are the {-1, 0, +1} x-neighbors of the center (kx = 3).
+
+    ``plan`` (host-precomputed, `ops/host_plan.strided_plan`) supplies
+    out_ids/out_cmask/tap_j/tap_found and skips the on-device
+    unique-sort + searchsorted (~35 ms/conv at stage-1 bench scale).
     """
     kz, ky, kx, cin, cout = weight.shape
     assert kx == 3 and ky == 3
@@ -321,21 +367,24 @@ def sparse_conv_col_dil(cg: ColumnGrid, weight: jnp.ndarray, stride,
     nx_o = (nx + 2 * px - kx) // sx + 1
     dt = cg.feats.dtype
 
-    y, x = _yx(cg.ids, nx)
-    active_col = cg.cmask & jnp.any(cg.zmask, axis=-1)
-    cand = []
-    for qy in range(-(-ky // sy)):
-        for qx in range(-(-kx // sx)):
-            by = (y + py) // sy - qy
-            bx = (x + px) // sx - qx
-            k_y = y + py - by * sy
-            k_x = x + px - bx * sx
-            ok = active_col & (k_y >= 0) & (k_y < ky) & (k_x >= 0) & \
-                (k_x < kx) & (by >= 0) & (by < ny_o) & (bx >= 0) & \
-                (bx < nx_o)
-            cand.append(jnp.where(ok, by * nx_o + bx, _INT_MAX))
-    out_ids, out_cmask = unique_sorted_ids(jnp.concatenate(cand),
-                                           out_col_cap)
+    if plan is None:
+        y, x = _yx(cg.ids, nx)
+        active_col = cg.cmask & jnp.any(cg.zmask, axis=-1)
+        cand = []
+        for qy in range(-(-ky // sy)):
+            for qx in range(-(-kx // sx)):
+                by = (y + py) // sy - qy
+                bx = (x + px) // sx - qx
+                k_y = y + py - by * sy
+                k_x = x + px - bx * sx
+                ok = active_col & (k_y >= 0) & (k_y < ky) & (k_x >= 0) & \
+                    (k_x < kx) & (by >= 0) & (by < ny_o) & (bx >= 0) & \
+                    (bx < nx_o)
+                cand.append(jnp.where(ok, by * nx_o + bx, _INT_MAX))
+        out_ids, out_cmask = unique_sorted_ids(jnp.concatenate(cand),
+                                               out_col_cap)
+    else:
+        out_ids, out_cmask = plan["out_ids"], plan["out_cmask"]
     yo, xo = _yx(out_ids, nx_o)
 
     # partials at every input column (kx folded into the contraction,
@@ -354,17 +403,21 @@ def sparse_conv_col_dil(cg: ColumnGrid, weight: jnp.ndarray, stride,
     mm = _zconv(mrolls, jnp.ones((kz, 3, 1), dt), stride=sz, padding=pz)
 
     # per-ky gather at the output's center input column (fused search)
-    xc = xo * sx - px + 1
-    qs, oks = [], []
-    for ky_ in range(ky):
-        yi = yo * sy - py + ky_
-        ok = out_cmask & (yi >= 0) & (yi < ny) & (xc >= 0) & (xc < nx)
-        qs.append(jnp.where(ok, yi * nx + xc, -1))
-        oks.append(ok)
-    q = jnp.stack(qs)
-    j = jnp.minimum(jnp.searchsorted(cg.ids, q.reshape(-1), method="sort"),
-                    cg.ids.shape[0] - 1).astype(jnp.int32).reshape(q.shape)
-    found = jnp.stack(oks) & (cg.ids[j] == q)
+    if plan is None:
+        xc = xo * sx - px + 1
+        qs, oks = [], []
+        for ky_ in range(ky):
+            yi = yo * sy - py + ky_
+            ok = out_cmask & (yi >= 0) & (yi < ny) & (xc >= 0) & (xc < nx)
+            qs.append(jnp.where(ok, yi * nx + xc, -1))
+            oks.append(ok)
+        q = jnp.stack(qs)
+        j = jnp.minimum(
+            jnp.searchsorted(cg.ids, q.reshape(-1), method="sort"),
+            cg.ids.shape[0] - 1).astype(jnp.int32).reshape(q.shape)
+        found = jnp.stack(oks) & (cg.ids[j] == q)
+    else:
+        j, found = plan["tap_j"], plan["tap_found"]
     acc = None
     zm = None
     for ky_ in range(ky):

@@ -45,6 +45,15 @@ z-shift by s becomes an in-row roll by s*C with a flat-index validity
 mask. 3D shapes appear only at conv boundaries, where the conv picks its
 own layout.
 
+ROUND-4 BARREL FIX (the flattened engine still measured 1544 ms; per-op
+profiling, micro_win_ops.py): the per-row variable shifts (re-basing,
+rewindow, strided frames) ran as one-hot case chains of span/align full
+passes — the strided conv's chain alone was 62-134 ms, and align halves
+per stage so the deep-stage chains were longer still. `_row_shift_barrel`
+now picks per call site between the one-hot chain (few cases: the subm
+re-base's 3-5) and a barrel shifter (log passes; wins at the strided
+convs' long chains) by a passes-x-frame-width cost model.
+
 Semantics match spconv (oracle-tested against dense conv in
 `tests/test_ops/test_sparse_win.py`): subm convs preserve the active
 set; strided convs activate every output site whose receptive field
@@ -165,39 +174,105 @@ def _zshift_flat(xf: jnp.ndarray, s: int, w: int, c: int) -> jnp.ndarray:
     return jnp.where(ok[None], rolled, 0.0)
 
 
+def _sh_pad(yf: jnp.ndarray, s: int, pad_to: int, c: int) -> jnp.ndarray:
+    """Static zero-fill shift in a padded flat frame: out[wi] = y[wi-s]."""
+    if s == 0:
+        return yf
+    rolled = jnp.roll(yf, s * c, axis=1)
+    fi = jnp.arange(pad_to * c)
+    ok = (fi >= s * c) if s > 0 else (fi < (pad_to + s) * c)
+    return jnp.where(ok[None], rolled, 0.0)
+
+
+def _row_shift_barrel(xf: jnp.ndarray, shift: jnp.ndarray, w: int, c: int,
+                      out_w: int, lo: int, hi: int,
+                      step: int) -> jnp.ndarray:
+    """Per-row variable shift on flat rows, BARREL-decomposed:
+    out[v, wi] = x[v, wi + shift[v]] for 0 <= wi + shift < w, else 0;
+    shift[v] in [lo, hi], a multiple of ``step``.
+
+    Zero-fill shifts compose (shift(a) o shift(b) = shift(a+b)), so the
+    per-row shift runs as ONE static shift by -hi plus bit_length((hi-lo)
+    / step) conditional passes — log cost in the span instead of the
+    one-hot case chain (span/step passes) this replaces: the strided
+    conv's span/align cascade measured 62-134 ms/conv at stage-1 scale,
+    and align halves per stage so the deep-stage chains were longer
+    still."""
+    assert hi >= lo and step >= 1
+    # cases with no [0, w) overlap contribute nothing (s >= w reads past
+    # the content, s <= -out_w writes past the view) — skip them
+    cases = [s for s in range(lo, hi + 1, step)
+             if s < w and s > -out_w]
+    n_cases = max(len(cases), 1)
+    nbits = (max(int(hi - lo) // step, 0)).bit_length()
+    r_off = max(hi, 0)
+    # pass-cost model (passes x frame width): one-hot shifts stay in a
+    # max(w, out_w) frame (the logical wi+s mask kills every wrapped
+    # position, so rolls need no extra headroom); the barrel needs an
+    # offset frame (right-moves only + read offset) of r_off + out_w.
+    # XLA fuses the independent one-hot roll+select chain into few real
+    # passes while the barrel's passes are data-dependent-sequential
+    # (measured: 8-case one-hot 134 ms vs 3-bit barrel 150 ms at the
+    # stage-1 strided conv) — weight the barrel 3x for that.
+    f1 = max(w, out_w)
+    f2 = max(w, r_off + out_w)
+    if n_cases * f1 <= 3 * (nbits + (1 if hi < 0 else 0) + 1) * f2:
+        # few-case one-hot select chain (e.g. the subm re-base's 3-5
+        # cases) — no frame growth
+        pad_to = f1
+        xp = jnp.pad(xf, ((0, 0), (0, (pad_to - w) * c)))
+        fi = jnp.arange(pad_to * c)
+        wi = fi // c
+        out = None
+        for s in cases:
+            rolled = jnp.roll(xp, -s * c, axis=1) if s != 0 else xp
+            ok = (wi + s >= 0) & (wi + s < w)
+            term = jnp.where((shift == s)[:, None] & ok[None], rolled, 0.0)
+            out = term if out is None else out + term
+        if out is None:
+            out = jnp.zeros_like(xp)
+        return out[:, :out_w * c]
+    # Barrel: only RIGHT moves (left intermediate positions would drop
+    # content): content x[j] moves to physical j + s0 + S with
+    # S = hi - shift, then the read slice starts at offset R:
+    # out[wi] = phys[wi + R] = x[j] with j = wi + R - s0 - S = wi + shift.
+    # Content pushed past the read window only ever moves further right,
+    # so the frame truncates at R + out_w (wrap positions are masked).
+    s0 = r_off - hi                               # static right move >= 0
+    pad_to = f2
+    xp = jnp.pad(xf, ((0, 0), (0, (pad_to - w) * c)))
+    cur = _sh_pad(xp, s0, pad_to, c)
+    r = (hi - shift) // step                      # per-row, >= 0
+    for b in range(nbits):
+        s = (1 << b) * step
+        cur = jnp.where(((r >> b) & 1 == 1)[:, None],
+                        _sh_pad(cur, s, pad_to, c), cur)
+    return cur[:, r_off * c:(r_off + out_w) * c]
+
+
 def _rebase_cases_flat(nbrf: jnp.ndarray, delta: jnp.ndarray, w: int,
                        c: int, align: int) -> jnp.ndarray:
-    """Express flat neighbor rows (V, W*C) in the receiver's frame via a
-    shift-select over the possible deltas: out[w'] = nbr[w' - delta].
-    |delta| >= W has no overlap (exact under the guard). XLA fuses the
-    few-way select chain of static rolls into one pass."""
-    out = jnp.where((delta == 0)[:, None], nbrf, 0.0)
-    for k in range(1, -(-w // align)):
-        for s in (k * align, -k * align):
-            if abs(s) >= w:
-                continue
-            out = out + jnp.where((delta == s)[:, None],
-                                  _zshift_flat(nbrf, s, w, c), 0.0)
-    return out
+    """Express flat neighbor rows (V, W*C) in the receiver's frame:
+    out[w'] = nbr[w' - delta]. |delta| >= W has no overlap (exact under
+    the guard). delta is a multiple of ``align`` clipped to [-w, w]."""
+    return _row_shift_barrel(nbrf, -delta, w, c, w, lo=-w, hi=w,
+                             step=align)
 
 
 def _row_shift_cases_flat(xf: jnp.ndarray, shift: jnp.ndarray, w: int,
                           c: int, out_w: int, candidates) -> jnp.ndarray:
-    """Per-row static-case shift into a possibly different width, on
-    flat rows: out[v, wi] = x[v, wi + shift[v]] when shift[v] is in
-    ``candidates`` (zero rows otherwise). xf (V, W*C) -> (V, out_w*C)."""
-    pad_to = max(w, out_w + int(max(candidates)))
-    xp = jnp.pad(xf, ((0, 0), (0, (pad_to - w) * c)))
-    fi = jnp.arange(pad_to * c)
-    wi = fi // c
-    out = None
-    for s in candidates:
-        s = int(s)
-        rolled = jnp.roll(xp, -s * c, axis=1) if s != 0 else xp
-        ok = (wi + s >= 0) & (wi + s < w)
-        term = jnp.where((shift == s)[:, None] & ok[None], rolled, 0.0)
-        out = term if out is None else out + term
-    return out[:, :out_w * c]
+    """Per-row shift into a possibly different width, on flat rows:
+    out[v, wi] = x[v, wi + shift[v]]. ``candidates`` bounds the shift
+    range (all actual shifts are multiples of their gcd-step within
+    [min, max]); barrel decomposition, see `_row_shift_barrel`."""
+    import math
+    cands = [int(s) for s in candidates]
+    lo, hi = min(cands), max(cands)
+    step = 0
+    for s in cands:
+        step = math.gcd(step, abs(s))
+    return _row_shift_barrel(xf, shift, w, c, out_w, lo, hi,
+                             max(step, 1))
 
 
 def win_rulebook(cg: WinGrid) -> Tuple[jnp.ndarray, jnp.ndarray,
@@ -307,7 +382,14 @@ def _conv9(g9: jnp.ndarray, weight: jnp.ndarray, stride: int = 1,
     """One conv over the (9, W) spatial pair: g9 (V, 9, W, Cin) x weight
     (kz, 3, 3, Cin, Cout) -> (V, W', Cout). The tap axis is a size-9
     spatial dim consumed VALID by a size-9 kernel, so the whole 3^3
-    kernel is a single K = 9*kz*Cin MXU contraction."""
+    kernel is a single K = 9*kz*Cin MXU contraction.
+
+    (A round-4 attempt at a fat matmul emitting kz*Cout z-partials —
+    N = 96 vs N = Cout = 32 on the MXU lanes — measured 14.3 ms vs this
+    conv's 7.5 ms at stage-1 scale: the z-partial combine's strided
+    slices force thin-minor (…, kz, Cout) relayouts that cost more than
+    the wider N saves. Cout-starvation caps every formulation here at
+    ~15-20 TF/s; the conv is already there.)"""
     kz, ky, kx, cin, cout = weight.shape
     w9 = weight.transpose(1, 2, 0, 3, 4).reshape(ky * kx, kz, cin, cout)
     out = jax.lax.conv_general_dilated(
@@ -457,9 +539,16 @@ def sparse_conv_win(cg: WinGrid, weight: jnp.ndarray, stride, padding,
     cands = list(range(0, -ws, -max(1, cg.align)))
     frames = []
     for t in range(ky * kx):
-        dstart = jnp.clip(base - cg.zoff[j[t]], -ws, 0)
-        rows = _gather_rows_flat(packedf, jnp.where(found[t], j[t], 0))
-        rows = jnp.where(found[t][:, None], rows, 0.0)
+        # dstart <= 0 for found taps (base = min found-tap zoff); a tap
+        # whose window lies entirely above the frame (dstart <= -ws) has
+        # zero overlap and must contribute nothing — zero the row rather
+        # than clipping the shift (a clipped non-step-multiple shift
+        # would leak a partial overlap through the barrel shifter).
+        dstart_t = base - cg.zoff[j[t]]
+        ok_t = found[t] & (dstart_t > -ws)
+        dstart = jnp.where(ok_t, dstart_t, 0)
+        rows = _gather_rows_flat(packedf, jnp.where(ok_t, j[t], 0))
+        rows = jnp.where(ok_t[:, None], rows, 0.0)
         frames.append(_row_shift_cases_flat(rows, dstart, w, cp, ws,
                                             cands))
     g9 = jnp.concatenate(frames, axis=-1).reshape(-1, 9, ws, cp)

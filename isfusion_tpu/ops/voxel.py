@@ -130,6 +130,24 @@ def voxelize_dynamic(points: jnp.ndarray, point_mask: jnp.ndarray,
         num_voxels=uniq.num_groups)
 
 
+def voxelize_dynamic_planned(points: jnp.ndarray, point_mask: jnp.ndarray,
+                             point_cloud_range: Sequence[float],
+                             voxel_size: Sequence[float],
+                             plan: dict) -> DynamicVoxelizationOutput:
+    """`voxelize_dynamic` from a host-precomputed structure plan
+    (`ops/host_plan.voxel_plan`): the sort/unique that dominates the
+    device voxelizer is replaced by the plan's arrays; only the
+    elementwise per-point coords are recomputed on device."""
+    coors, _, _ = compute_voxel_coords(points, point_cloud_range,
+                                       voxel_size)
+    keep = plan["pmask"]
+    return DynamicVoxelizationOutput(
+        coors=jnp.where(keep[:, None], coors, -1),
+        point_voxel_index=plan["vidx"],
+        voxel_coors=plan["vox_coors"], voxel_mask=plan["vmask"],
+        point_mask=keep, num_voxels=plan["num_voxels"])
+
+
 def dynamic_scatter(feats: jnp.ndarray, point_voxel_index: jnp.ndarray,
                     num_voxels_cap: int, mode: str = "max") -> jnp.ndarray:
     """Reduce per-point features into voxels (DynamicScatter equivalent,

@@ -1,0 +1,137 @@
+"""Host-plan (numpy) vs device structure parity, and planned-vs-unplanned
+encoder output equality.
+
+The host plan (`ops/host_plan.py`) re-derives every integer-structure
+array the column engine builds on device (sorts/searchsorted); these
+tests pin exact agreement — same ascending unique order, same
+lowest-ids-win capacity truncation, same clamped misses — and that the
+planned encoder path is bit-identical to the unplanned one.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from isfusion_tpu.ops import host_plan as hp
+from isfusion_tpu.ops import sparse_cols as sc
+from isfusion_tpu.ops.voxel import voxelize_dynamic
+
+PCR = [-2.0, -2.0, -1.0, 2.0, 2.0, 0.75]
+VS = [0.25, 0.25, 0.159]
+GRID = (11, 16, 16)   # nz, ny, nx (z=11 so conv_out keeps >= 1 cell)
+
+
+def _cloud(n=500, seed=0):
+    rng = np.random.default_rng(seed)
+    pts = rng.uniform(-2.2, 2.2, (n, 5)).astype(np.float32)
+    pts[:, 2] = rng.uniform(-1.1, 1.1, n)
+    mask = rng.uniform(size=n) < 0.9
+    return pts, mask
+
+
+def test_voxel_plan_matches_device():
+    pts, mask = _cloud()
+    cap = 160
+    plan = hp.voxel_plan(pts, mask, PCR, VS, cap)
+    dv = voxelize_dynamic(jnp.asarray(pts), jnp.asarray(mask), PCR, VS, cap)
+    np.testing.assert_array_equal(plan["vidx"],
+                                  np.asarray(dv.point_voxel_index))
+    np.testing.assert_array_equal(plan["pmask"], np.asarray(dv.point_mask))
+    np.testing.assert_array_equal(plan["vox_coors"],
+                                  np.asarray(dv.voxel_coors))
+    np.testing.assert_array_equal(plan["vmask"], np.asarray(dv.voxel_mask))
+
+
+def test_column_and_dilate_plan_match_device():
+    pts, mask = _cloud(seed=1)
+    cap = 160
+    plan = hp.voxel_plan(pts, mask, PCR, VS, cap)
+    col_cap, dil_cap = 96, 160
+    cp = hp.column_plan(plan["vox_coors"], plan["vmask"], GRID, col_cap,
+                        z_pad_to=8)
+    rngf = np.random.default_rng(2)
+    feats = jnp.asarray(rngf.normal(0, 1, (cap, 6)), jnp.float32)
+    feats = jnp.where(jnp.asarray(plan["vmask"])[:, None], feats, 0.0)
+
+    cg_dev = sc.build_column_grid(feats, jnp.asarray(plan["vox_coors"]),
+                                  jnp.asarray(plan["vmask"]), GRID,
+                                  col_cap, z_pad_to=8)
+    cg_pl = sc.build_column_grid_planned(
+        feats, {k: jnp.asarray(cp[k]) for k in cp}, GRID, col_cap,
+        z_pad_to=8)
+    np.testing.assert_array_equal(np.asarray(cg_dev.ids),
+                                  np.asarray(cg_pl.ids))
+    np.testing.assert_array_equal(np.asarray(cg_dev.zmask),
+                                  np.asarray(cg_pl.zmask))
+    np.testing.assert_allclose(np.asarray(cg_dev.feats),
+                               np.asarray(cg_pl.feats))
+
+    dp = hp.dilate_plan(cp["col_ids"], cp["cmask"], GRID[1], GRID[2],
+                        dil_cap)
+    dcg_dev, rb_dev = sc.dilate_columns(cg_dev, dil_cap)
+    dcg_pl, rb_pl = sc.dilate_columns_planned(
+        cg_pl, {k: jnp.asarray(dp[k]) for k in dp})
+    np.testing.assert_array_equal(np.asarray(dcg_dev.ids),
+                                  np.asarray(dcg_pl.ids))
+    np.testing.assert_array_equal(np.asarray(dcg_dev.zmask),
+                                  np.asarray(dcg_pl.zmask))
+    np.testing.assert_allclose(np.asarray(dcg_dev.feats),
+                               np.asarray(dcg_pl.feats))
+    np.testing.assert_array_equal(np.asarray(rb_dev[0]),
+                                  np.asarray(rb_pl[0]))
+    np.testing.assert_array_equal(np.asarray(rb_dev[1]),
+                                  np.asarray(rb_pl[1]))
+
+    # strided structure + full conv output
+    rngw = np.random.default_rng(3)
+    w = jnp.asarray(rngw.normal(0, 0.1, (3, 3, 3, 6, 8)), jnp.float32)
+    sp = hp.strided_plan(cp["col_ids"], cp["cmask"] & dp["kept"],
+                         dp["dil_ids"], GRID[1], GRID[2], (2, 2), (1, 1),
+                         64)
+    out_dev = sc.sparse_conv_col_dil(dcg_dev, w, (2, 2, 2), (1, 1, 1), 64)
+    out_pl = sc.sparse_conv_col_dil(
+        dcg_pl, w, (2, 2, 2), (1, 1, 1), 64,
+        plan={k: jnp.asarray(sp[k]) for k in
+              ("out_ids", "out_cmask", "tap_j", "tap_found")})
+    np.testing.assert_array_equal(np.asarray(out_dev.ids),
+                                  np.asarray(out_pl.ids))
+    np.testing.assert_array_equal(np.asarray(out_dev.zmask),
+                                  np.asarray(out_pl.zmask))
+    np.testing.assert_allclose(np.asarray(out_dev.feats),
+                               np.asarray(out_pl.feats), atol=1e-5)
+
+
+@pytest.mark.parametrize("dense_from", [99, 2])
+def test_planned_encoder_matches_unplanned(dense_from):
+    from isfusion_tpu.models.middle_encoders.sparse_encoder import \
+        SparseEncoder
+
+    pts, mask = _cloud(n=800, seed=4)
+    cap = 160
+    vl = dict(point_cloud_range=PCR, voxel_size=VS)
+    enc_cfg = dict(
+        sparse_shape=GRID, base_channels=8, output_channels=16,
+        encoder_channels=((8, 8, 12), (12, 12, 16), (16, 16)),
+        encoder_paddings=((1, 1, 1), (1, 1, 1), (1, 1)),
+        block_type="basicblock", stage_cap_ratios=(0.6, 0.8, 0.5),
+        dilation_ratio=2.0, dense_from_stage=dense_from, z_pad_to=8)
+    plan = hp.build_encoder_plan_batch(
+        pts[None], mask[None], vl, enc_cfg, cap)
+
+    enc = SparseEncoder(in_channels=6, norm_cfg=dict(type="BN1d"),
+                        **enc_cfg)
+    dvp = hp.voxel_plan(pts, mask, PCR, VS, cap)
+    rngf = np.random.default_rng(5)
+    feats = jnp.asarray(rngf.normal(0, 1, (1, cap, 6)), jnp.float32)
+    feats = jnp.where(jnp.asarray(dvp["vmask"])[None, :, None], feats, 0.0)
+    coors = jnp.asarray(dvp["vox_coors"])[None]
+    vmask = jnp.asarray(dvp["vmask"])[None]
+
+    variables = enc.init(jax.random.PRNGKey(0), feats, coors, vmask)
+    out_ref = enc.apply(variables, feats, coors, vmask)
+    out_pl = enc.apply(variables, feats, coors, vmask,
+                       plan={k: jnp.asarray(v) for k, v in plan.items()})
+    np.testing.assert_allclose(np.asarray(out_ref), np.asarray(out_pl),
+                               atol=1e-5)
+    assert float(jnp.abs(out_ref).sum()) > 0

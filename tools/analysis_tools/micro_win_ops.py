@@ -66,12 +66,11 @@ def main():
 
     # parts: im2col9 alone; conv9 alone on a prebuilt g9
     bench_loop(lambda f: sw._im2col9(
-        cg32.replace(feats=f), rb).reshape(f.shape[0], -1)[..., :32 * W0]
-        .reshape(f.shape), cg32.feats, name="  _im2col9 (+slice back)")
+        cg32.replace(feats=f), rb)[:, 4].reshape(f.shape),
+        cg32.feats, name="  _im2col9 (+slice back)")
     g9 = jax.jit(lambda g: sw._im2col9(g, rb))(cg32)
-    bench_loop(lambda g: sw._conv9(g, w32, padding=1)[..., None, :]
-               .repeat(9, -2).reshape(g.shape[0], 9, W0, 32) * 0 + g,
-               g9, name="  _conv9 (+bcast back)", n1=2, n2=8)
+    bench_loop(lambda g: g + sw._conv9(g, w32, padding=1)[:, None],
+               g9, name="  _conv9 (+bcast add)", n1=2, n2=8)
 
     # single side tap: gather + rebase
     featsf = cg32.feats.reshape(cg32.feats.shape[0], -1)
