@@ -83,6 +83,16 @@ def main() -> None:
             vl = dict(cfg.model["pts_voxel_layer"])
             enc = dict(cfg.model["pts_middle_encoder"])
             cap = _capacity(vl.get("max_voxels", 120000), False)
+            vs = list(cfg.model["voxel_size"])
+            osf = int(cfg.model.get("out_size_factor", 8))
+            pcr = list(cfg.model["pc_range"])
+            fe = dict(cfg.model["fusion_encoder"])
+            pillar_cfg = dict(
+                voxel_size=(vs[0] * osf, vs[1] * osf, pcr[5] - pcr[2]),
+                max_points=int(fe.get("num_points_in_pillar", 12)),
+                max_voxels=_capacity(
+                    cfg.model.get("pillar_max_voxels", (30000, 60000)),
+                    False))
             pts_np = np.asarray(batch["points"])
             pm_np = np.asarray(batch["points_mask"])
         variants = []
@@ -93,7 +103,7 @@ def main() -> None:
                 pv = pts_np + 1e-3 * (i + 1)
                 b2["points"] = pv
                 b2["sparse_plan"] = build_encoder_plan_batch(
-                    pv, pm_np, vl, enc, cap)
+                    pv, pm_np, vl, enc, cap, pillar_cfg)
                 b2 = jax.device_put(b2)
             else:
                 b2["points"] = batch["points"] + 1e-3 * (i + 1)

@@ -27,15 +27,18 @@ def single_device_test(model, state: TrainState, loader,
     for batch in loader:
         arrays = {k: v for k, v in batch.items() if k != "img_metas"} \
             if isinstance(batch, dict) else batch
-        b_true = next(iter(arrays.values())).shape[0]
+        b_true = arrays["points" if "points" in arrays else
+                        next(iter(arrays))].shape[0]
         if n_dev > 1 and b_true % n_dev:
             # mesh-sharded eval needs a device-divisible batch; pad by
             # repeating the first sample and truncate the results (the
-            # final val batch is ragged when drop_last=False)
+            # final val batch is ragged when drop_last=False). tree_map
+            # handles nested entries (e.g. the host sparse_plan dict).
             pad = n_dev - b_true % n_dev
-            arrays = {k: np.concatenate(
-                [np.asarray(v)] + [np.asarray(v)[:1]] * pad, axis=0)
-                for k, v in arrays.items()}
+            arrays = jax.tree_util.tree_map(
+                lambda v: np.concatenate(
+                    [np.asarray(v)] + [np.asarray(v)[:1]] * pad, axis=0),
+                arrays)
         arrays = _device_put_batch(arrays, mesh)
         out = jax.device_get(predict(state, arrays))
         for i in range(b_true):

@@ -43,7 +43,8 @@ def _device_put_batch(batch: dict, mesh=None):
         arrays = jax.device_put(
             arrays, NamedSharding(mesh, P("data")))
     else:
-        arrays = {k: jnp.asarray(v) for k, v in arrays.items()}
+        # tree_map: batches may hold nested dicts (host sparse_plan)
+        arrays = jax.tree_util.tree_map(jnp.asarray, arrays)
     return arrays
 
 
@@ -58,10 +59,18 @@ def train_model(model, dataset, cfg, work_dir: str = "work_dir",
     mesh = make_data_mesh() if (distributed and n_dev > 1) else None
     global_batch = samples_per_gpu * (n_dev if mesh is not None else 1)
 
+    # host-side structure plans (ops/host_plan.py): for column-engine
+    # SparseEncoder models the prefetch worker precomputes all integer
+    # structure (sorts/uniques/rulebooks) so the device step skips its
+    # sort paths (~200 ms/sample on the flagship)
+    from ..ops.host_plan import make_plan_fn
+    plan_fn = make_plan_fn(dict(cfg.model), train=True) \
+        if "model" in cfg else None
     loader = build_dataloader(
         dataset, samples_per_gpu=global_batch, workers_per_gpu=workers,
         shuffle=True, seed=int(cfg.get("seed", 0) or 0),
-        shard_id=jax.process_index(), num_shards=jax.process_count())
+        shard_id=jax.process_index(), num_shards=jax.process_count(),
+        plan_fn=plan_fn)
 
     total_epochs = int(cfg.get("total_epochs")
                        or dict(cfg.get("runner", {})).get("max_epochs", 10))
@@ -185,7 +194,8 @@ def train_model(model, dataset, cfg, work_dir: str = "work_dir",
                     if mesh is not None else 1
                 val_loader = build_dataloader(
                     val_ds, samples_per_gpu=samples_per_gpu * n_dev,
-                    workers_per_gpu=workers, shuffle=False)
+                    workers_per_gpu=workers, shuffle=False,
+                    plan_fn=make_plan_fn(dict(cfg.model), train=False))
                 results = single_device_test(model, state, val_loader,
                                              mesh=mesh)
                 metrics = val_ds.evaluate(results)

@@ -49,8 +49,12 @@ class DataLoader:
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
                  num_workers: int = 4, seed: int = 0, drop_last: bool = True,
                  shard_id: int = 0, num_shards: int = 1,
-                 prefetch: int = 2):
+                 prefetch: int = 2, plan_fn=None):
         self.dataset = dataset
+        # optional collate-time batch enricher (ops/host_plan.make_plan_fn):
+        # computes the sparse encoder's integer structure on host inside
+        # the prefetch worker, overlapped with the device step
+        self.plan_fn = plan_fn
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.num_workers = max(int(num_workers), 1)
@@ -97,7 +101,11 @@ class DataLoader:
         def worker():
             try:
                 for b in batches:
-                    q.put(collate_batch([self.dataset[int(i)] for i in b]))
+                    batch = collate_batch(
+                        [self.dataset[int(i)] for i in b])
+                    if self.plan_fn is not None:
+                        batch = self.plan_fn(batch)
+                    q.put(batch)
             except BaseException as e:   # propagate to the consumer —
                 q.put(e)                 # a swallowed error looks like an
             finally:                     # empty dataset
@@ -118,11 +126,11 @@ def build_dataloader(dataset, samples_per_gpu: int, workers_per_gpu: int = 4,
                      num_gpus: int = 1, dist: bool = False, shuffle=True,
                      seed: Optional[int] = None, shard_id: int = 0,
                      num_shards: int = 1, drop_last: Optional[bool] = None,
-                     **kwargs) -> DataLoader:
+                     plan_fn=None, **kwargs) -> DataLoader:
     if drop_last is None:
         # evaluation must see every sample; training keeps static shapes
         drop_last = bool(shuffle)
     return DataLoader(dataset, batch_size=samples_per_gpu, shuffle=shuffle,
                       num_workers=workers_per_gpu, seed=seed or 0,
                       shard_id=shard_id, num_shards=num_shards,
-                      drop_last=drop_last)
+                      drop_last=drop_last, plan_fn=plan_fn)

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 
 from ...registry import DETECTORS
 from ...ops.voxel import (voxelize_dynamic, voxelize_dynamic_planned,
-                          voxelize_hard)
+                          voxelize_hard, voxelize_hard_planned)
 from ..builder import build_fusion_layer
 from .mvx_two_stage import MVXTwoStageDetector
 from .voxelnet import _capacity
@@ -121,9 +121,15 @@ class ISFusionDetector(MVXTwoStageDetector):
         fe = dict(self.fusion_encoder)
         n_pillar_pts = int(fe.get("num_points_in_pillar", 12))
         pillar_cap = _capacity(self.pillar_max_voxels, train)
-        pil = jax.vmap(lambda p, m: voxelize_hard(
-            p, m, self.pc_range, self._pillar_size(), n_pillar_pts,
-            pillar_cap))(points, points_mask)
+        if plan is not None and "pil_vidx" in plan:
+            pil = jax.vmap(lambda p, pl: voxelize_hard_planned(
+                p, pl, n_pillar_pts, pillar_cap))(
+                    points,
+                    {k[4:]: plan[k] for k in plan if k.startswith("pil_")})
+        else:
+            pil = jax.vmap(lambda p, m: voxelize_hard(
+                p, m, self.pc_range, self._pillar_size(), n_pillar_pts,
+                pillar_cap))(points, points_mask)
 
         feats_list, ins_heatmap = self.fusion_encoder_m(
             img_feats, lidar_bev, pil.voxels, pil.coors, pil.voxel_mask,

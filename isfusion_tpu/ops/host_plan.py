@@ -82,6 +82,57 @@ def voxel_plan(points: np.ndarray, point_mask: np.ndarray,
                 num_voxels=np.int32(np.unique(ids[ids != INT_MAX]).size))
 
 
+def pillar_plan(points: np.ndarray, point_mask: np.ndarray,
+                point_cloud_range: Sequence[float],
+                voxel_size: Sequence[float], max_points: int,
+                max_voxels: int) -> Dict[str, np.ndarray]:
+    """Mirror of ops/voxel.voxelize_hard's structure: per-point pillar
+    slot + in-pillar rank (ascending original order within a pillar,
+    the reference's deterministic=True contract), pillar coords/mask/
+    counts."""
+    pcr = [float(v) for v in point_cloud_range]
+    vs = [float(v) for v in voxel_size]
+    nx = int(round((pcr[3] - pcr[0]) / vs[0]))
+    ny = int(round((pcr[4] - pcr[1]) / vs[1]))
+    nz = int(round((pcr[5] - pcr[2]) / vs[2]))
+    xyz = points[:, :3].astype(np.float32)
+    cxyz = np.floor(
+        (xyz - np.array(pcr[:3], np.float32)) *
+        (1.0 / np.array(vs, np.float32))).astype(np.int32)
+    in_range = np.all((cxyz >= 0) & (cxyz < np.array([nx, ny, nz])),
+                      axis=-1)
+    valid = point_mask.astype(bool) & in_range
+    coors = np.stack([cxyz[:, 2], cxyz[:, 1], cxyz[:, 0]], axis=-1)
+    ids = np.where(valid,
+                   coors[:, 0] * (ny * nx) + coors[:, 1] * nx + coors[:, 2],
+                   INT_MAX).astype(np.int64)
+    uids, umask = _unique_capped(ids.astype(np.int32), max_voxels)
+    slot = _searchsorted_clamped(uids, ids, max_voxels)
+    found = valid & (uids[slot] == ids)
+    # rank = position among same-id points in original order
+    order = np.argsort(ids, kind="stable")
+    sorted_ids = ids[order]
+    is_start = np.concatenate([[True], sorted_ids[1:] != sorted_ids[:-1]])
+    pos = np.arange(ids.shape[0])
+    start_pos = np.maximum.accumulate(np.where(is_start, pos, -1))
+    rank_sorted = pos - start_pos
+    rank = np.empty_like(pos)
+    rank[order] = rank_sorted
+    keep = found & (rank < max_points)
+    vidx = np.where(keep, slot, max_voxels).astype(np.int32)
+    rank = np.where(keep, rank, 0).astype(np.int32)
+    group_size = np.zeros(max_voxels + 1, np.int32)
+    np.add.at(group_size, np.where(found, slot, max_voxels), 1)
+    num_points = np.minimum(group_size[:max_voxels], max_points)
+    vox_coors = np.full((max_voxels, 3), -1, np.int32)
+    vz = uids[umask] // (ny * nx)
+    vy = (uids[umask] // nx) % ny
+    vx = uids[umask] % nx
+    vox_coors[:umask.sum()] = np.stack([vz, vy, vx], axis=-1)
+    return dict(vidx=vidx, rank=rank, pmask=keep, vox_coors=vox_coors,
+                vmask=umask, num_points=num_points)
+
+
 def column_plan(vox_coors: np.ndarray, vmask: np.ndarray,
                 grid: Sequence[int], col_cap: int,
                 z_pad_to: int = 1) -> Dict[str, np.ndarray]:
@@ -185,13 +236,18 @@ def strided_plan(active_ids: np.ndarray, active_cmask: np.ndarray,
 
 def build_encoder_plan(points: np.ndarray, point_mask: np.ndarray,
                        voxel_layer: Dict, encoder_cfg: Dict,
-                       max_voxels: int) -> Dict[str, np.ndarray]:
+                       max_voxels: int,
+                       pillar_cfg: Optional[Dict] = None
+                       ) -> Dict[str, np.ndarray]:
     """Walk the SparseEncoder's sparse-stage sequence (same caps, same
     dilation ratio, same dense_from_stage cutover) and emit every
     structure array the device path needs, as one flat dict.
 
     ``encoder_cfg`` is the config's pts_middle_encoder dict;
-    ``max_voxels`` the voxelizer capacity (encoder v_cap)."""
+    ``max_voxels`` the voxelizer capacity (encoder v_cap).
+    ``pillar_cfg`` (optional) adds the ISFusion pillarizer structure as
+    `pil_*` keys: dict(voxel_size=(3,), max_points=int, max_voxels=int)
+    — pillar voxel_size is the detector's `_pillar_size()`."""
     vp = voxel_plan(points, point_mask, voxel_layer["point_cloud_range"],
                     voxel_layer["voxel_size"], max_voxels)
     grid = tuple(int(g) for g in encoder_cfg.get("sparse_shape",
@@ -217,6 +273,14 @@ def build_encoder_plan(points: np.ndarray, point_mask: np.ndarray,
         return max(int(cap_for(stage) * dil_ratio) // 8 * 8, 8)
 
     plan = dict(vp)
+    if pillar_cfg is not None:
+        pp = pillar_plan(points, point_mask,
+                         voxel_layer["point_cloud_range"],
+                         pillar_cfg["voxel_size"],
+                         int(pillar_cfg["max_points"]),
+                         int(pillar_cfg["max_voxels"]))
+        for k, v in pp.items():
+            plan[f"pil_{k}"] = v
     nz, ny, nx = grid
     cp = column_plan(vp["vox_coors"], vp["vmask"], grid, cap_for(0),
                      z_pad_to=z_pad_to)
@@ -268,12 +332,72 @@ def build_encoder_plan(points: np.ndarray, point_mask: np.ndarray,
     return plan
 
 
+def make_plan_fn(model_cfg: Dict, train: bool):
+    """Collate-time plan enricher from a detector config dict.
+
+    Returns a callable ``fn(batch) -> batch`` that adds a
+    ``batch["sparse_plan"]`` computed from the (augmented) padded point
+    clouds, or ``None`` when the model has no column-engine
+    SparseEncoder (the device then computes structure itself). The
+    train/test APIs install it on the DataLoader so the numpy sorts run
+    in the prefetch worker, overlapped with the device step — the
+    reference overlaps its augmentation work the same way
+    (`mmdet3d/apis/train.py:66-75`, workers_per_gpu=6).
+    """
+    mc = dict(model_cfg)
+    if mc.get("type") != "ISFusionDetector":
+        # only the ISFusion forward consumes batch["sparse_plan"] today;
+        # other families would pay the host compute + transfer for nothing
+        return None
+    enc = dict(mc.get("pts_middle_encoder") or {})
+    if enc.get("type") != "SparseEncoder" or \
+            enc.get("engine", "columns") != "columns":
+        return None
+    vl = dict(mc.get("pts_voxel_layer") or {})
+    if "point_cloud_range" not in vl or "voxel_size" not in vl:
+        return None
+
+    def _cap(mv, default):
+        if mv is None:
+            mv = default
+        if isinstance(mv, (tuple, list)):
+            mv = mv[0] if train else mv[1]
+        return int(mv)
+
+    cap = _cap(vl.get("max_voxels"), 120000)
+    if cap <= 0:
+        cap = 120000
+    pillar_cfg = None
+    if mc.get("type") == "ISFusionDetector":
+        vs = list(mc["voxel_size"])
+        pcr = list(mc["pc_range"])
+        osf = int(mc.get("out_size_factor", 8))
+        fe = dict(mc.get("fusion_encoder") or {})
+        pillar_cfg = dict(
+            voxel_size=(vs[0] * osf, vs[1] * osf, pcr[5] - pcr[2]),
+            max_points=int(fe.get("num_points_in_pillar", 12)),
+            max_voxels=_cap(mc.get("pillar_max_voxels", (30000, 60000)),
+                            (30000, 60000)))
+
+    def fn(batch: Dict) -> Dict:
+        if "points" not in batch or "points_mask" not in batch:
+            return batch
+        batch["sparse_plan"] = build_encoder_plan_batch(
+            np.asarray(batch["points"]), np.asarray(batch["points_mask"]),
+            vl, enc, cap, pillar_cfg)
+        return batch
+
+    return fn
+
+
 def build_encoder_plan_batch(points: np.ndarray, point_mask: np.ndarray,
                              voxel_layer: Dict, encoder_cfg: Dict,
-                             max_voxels: int) -> Dict[str, np.ndarray]:
+                             max_voxels: int,
+                             pillar_cfg: Optional[Dict] = None
+                             ) -> Dict[str, np.ndarray]:
     """Batched wrapper: stacks per-sample plans along a leading axis."""
     plans = [build_encoder_plan(np.asarray(points[b]),
                                 np.asarray(point_mask[b]), voxel_layer,
-                                encoder_cfg, max_voxels)
+                                encoder_cfg, max_voxels, pillar_cfg)
              for b in range(points.shape[0])]
     return {k: np.stack([p[k] for p in plans]) for k in plans[0]}

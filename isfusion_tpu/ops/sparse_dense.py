@@ -1,11 +1,11 @@
 """Dense-grid stage engine for the sparse 3D conv encoder.
 
-At the deep encoder stages the BEV occupancy rises (stage 3: ~43% of
-360x360 columns active, stage 4: ~70% of 180x180), so a plain dense XLA
-3D convolution on the MXU beats the gather-based column engine
-(`ops/sparse_cols.py`), whose cost is bandwidth-bound at ~75-136 GB/s
-per fat-row gather regardless of occupancy. This module provides the
-dense counterpart with EXACT spconv semantics (parity:
+At the deep encoder stages the channel widths reach the MXU's sweet
+spot (C >= 128: native 3D convs measured 112-162 TF/s on the v5e,
+micro_conv_forms.py), so a plain dense XLA 3D convolution beats the
+gather-based column engine (`ops/sparse_cols.py`), whose cost is
+bandwidth-bound per fat-row gather regardless of occupancy. This module
+provides the dense counterpart with EXACT spconv semantics (parity:
 `/root/reference/mmdet3d/models/middle_encoders/sparse_encoder.py:108`,
 spconv SubMConv3d/SparseConv3d):
 
@@ -22,10 +22,12 @@ no dilation cap, no drops. The encoder converts from the column engine
 to this one at a configured stage boundary (`SparseEncoder.
 dense_from_stage`); the measured crossover lives in PERF.md.
 
-Layout: (B, H, W, D, C) — "NHWDC" — so the conversion from the column
-engine is one row-scatter (no transpose) and the final BEV output
-`(B, H, W, D*C)` is a reshape. XLA's conv accepts the spatial
-permutation directly via dimension_numbers.
+Layout: (B, D, H, W, C) — "NDHWC", depth-major spatial. The round-4
+first cut used (B, H, W, D, C) so the conversion scatter needed no
+transpose, but XLA tiles that conv at only ~34-38 TF/s (D=5-21 in the
+second-minor dim starves the tiling) vs 112-162 TF/s for NDHWC at the
+same shapes — one extra transpose pass per conversion buys a ~3x conv
+rate. (stage_profile_dense.py / micro_conv_forms.py measurements.)
 """
 from __future__ import annotations
 
@@ -37,7 +39,7 @@ import jax.numpy as jnp
 
 from .sparse_cols import ColumnGrid
 
-_DIMNUM = ("NHWDC", "HWDIO", "NHWDC")
+_DIMNUM = ("NDHWC", "DHWIO", "NDHWC")
 
 
 @flax.struct.dataclass
@@ -46,8 +48,8 @@ class DenseGrid:
 
     Invariant: ``feats`` is zero at every inactive site.
     """
-    feats: jnp.ndarray   # (B, H, W, D, C)
-    zmask: jnp.ndarray   # (B, H, W, D) bool
+    feats: jnp.ndarray   # (B, D, H, W, C)
+    zmask: jnp.ndarray   # (B, D, H, W) bool
 
 
 def columns_to_dense(cg: ColumnGrid, z_logical: int) -> DenseGrid:
@@ -55,9 +57,8 @@ def columns_to_dense(cg: ColumnGrid, z_logical: int) -> DenseGrid:
 
     Slices the column engine's lane-alignment z padding back to the
     logical extent (pad cells are masked-off zeros, so this is lossless).
-    One scatter of (Vc, z*C) rows per sample — same primitive as
-    `column_to_dense`.
-    """
+    One scatter of (Vc, z*C) rows per sample + one transpose to the
+    depth-major conv layout."""
     ny, nx = cg.bev
     zl = min(cg.feats.shape[2], int(z_logical))
 
@@ -73,8 +74,8 @@ def columns_to_dense(cg: ColumnGrid, z_logical: int) -> DenseGrid:
         mflat = mflat.at[out_ids].set(mrows, mode="drop",
                                       unique_indices=True,
                                       indices_are_sorted=True)
-        return (flat[:-1].reshape(ny, nx, zl, c),
-                mflat[:-1].reshape(ny, nx, zl))
+        return (flat[:-1].reshape(ny, nx, zl, c).transpose(2, 0, 1, 3),
+                mflat[:-1].reshape(ny, nx, zl).transpose(2, 0, 1))
 
     feats, zmask = jax.vmap(one)(cg.feats, cg.zmask, cg.ids, cg.cmask)
     return DenseGrid(feats, zmask)
@@ -82,14 +83,14 @@ def columns_to_dense(cg: ColumnGrid, z_logical: int) -> DenseGrid:
 
 def _conv(x: jnp.ndarray, w: jnp.ndarray, stride: Tuple[int, int, int],
           pad: Tuple[int, int, int]) -> jnp.ndarray:
-    """3D conv on (B, H, W, D, C); w is (kz, ky, kx, Cin, Cout) like the
-    column engine (z-major), transposed here to HWDIO."""
+    """3D conv on (B, D, H, W, C); w is (kz, ky, kx, Cin, Cout) like the
+    column engine (z-major) — already DHWIO."""
     sz, sy, sx = stride
     pz, py, px = pad
     return jax.lax.conv_general_dilated(
-        x, w.transpose(1, 2, 0, 3, 4).astype(x.dtype),
-        window_strides=(sy, sx, sz),
-        padding=[(py, py), (px, px), (pz, pz)],
+        x, w.astype(x.dtype),
+        window_strides=(sz, sy, sx),
+        padding=[(pz, pz), (py, py), (px, px)],
         dimension_numbers=_DIMNUM,
         preferred_element_type=x.dtype)
 
@@ -115,15 +116,16 @@ def sparse_conv_dense(dg: DenseGrid, weight: jnp.ndarray, stride,
     out = _conv(dg.feats, weight, (sz, sy, sx), (pz, py, px))
     zmask = jax.lax.reduce_window(
         dg.zmask, False, jax.lax.bitwise_or,
-        window_dimensions=(1, ky, kx, kz),
-        window_strides=(1, sy, sx, sz),
-        padding=((0, 0), (py, py), (px, px), (pz, pz)))
+        window_dimensions=(1, kz, ky, kx),
+        window_strides=(1, sz, sy, sx),
+        padding=((0, 0), (pz, pz), (py, py), (px, px)))
     out = jnp.where(zmask[..., None], out, 0.0).astype(dg.feats.dtype)
     return DenseGrid(out, zmask)
 
 
 def dense_to_bev(dg: DenseGrid) -> jnp.ndarray:
-    """(B, H, W, D, C) -> (B, H, W, D*C) with out[..., z*C:(z+1)*C] =
-    feats[..., z, :] — identical channel order to `column_to_dense`."""
-    b, h, w, d, c = dg.feats.shape
-    return dg.feats.reshape(b, h, w, d * c)
+    """(B, D, H, W, C) -> (B, H, W, D*C) with out[..., z*C:(z+1)*C] =
+    feats[:, z] — identical channel order to `column_to_dense` (one
+    transpose pass)."""
+    b, d, h, w, c = dg.feats.shape
+    return dg.feats.transpose(0, 2, 3, 1, 4).reshape(b, h, w, d * c)

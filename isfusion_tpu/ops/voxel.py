@@ -95,6 +95,24 @@ def voxelize_hard(points: jnp.ndarray, point_mask: jnp.ndarray,
         point_mask=keep)
 
 
+def voxelize_hard_planned(points: jnp.ndarray, plan: dict,
+                          max_points: int,
+                          max_voxels: int) -> VoxelizationOutput:
+    """`voxelize_hard` from a host plan (`ops/host_plan.pillar_plan`):
+    the unique/rank sort is precomputed; the device keeps the two
+    scatters."""
+    keep = plan["pmask"]
+    vidx, rank = plan["vidx"], plan["rank"]
+    C = points.shape[-1]
+    voxels = jnp.zeros((max_voxels + 1, max_points, C), points.dtype)
+    voxels = voxels.at[vidx, rank].set(
+        jnp.where(keep[:, None], points, 0.0), mode="drop")[:max_voxels]
+    return VoxelizationOutput(
+        voxels=voxels, coors=plan["vox_coors"],
+        num_points=plan["num_points"], voxel_mask=plan["vmask"],
+        point_voxel_index=vidx, point_mask=keep)
+
+
 class DynamicVoxelizationOutput(NamedTuple):
     coors: jnp.ndarray             # (P, 3) int32 per-point voxel coords; -1 invalid
     point_voxel_index: jnp.ndarray  # (P,) int32 dense voxel slot (max_voxels = trash)

@@ -194,3 +194,27 @@ def test_predict(model_and_vars):
     assert out["scores"].shape == (2, 16)
     assert np.isfinite(np.asarray(out["bboxes"])).all()
     assert np.asarray(out["labels"]).max() < NC
+
+
+def test_forward_with_host_plan_matches(model_and_vars):
+    """The host-precomputed structure plan (ops/host_plan.make_plan_fn)
+    must leave the detector's forward outputs bit-identical."""
+    from isfusion_tpu.ops.host_plan import make_plan_fn
+
+    model, variables, batch = model_and_vars
+    fn = make_plan_fn(tiny_isfusion_cfg(), train=False)
+    assert fn is not None
+    host_batch = {k: np.asarray(v) for k, v in batch.items()}
+    planned = fn(dict(host_batch))
+    assert "sparse_plan" in planned
+    planned = jax.tree_util.tree_map(jnp.asarray, planned)
+
+    ref = jax.jit(
+        lambda v, b: model.apply(v, b, train=False, mode="feats"))(
+            variables, batch)
+    got = jax.jit(
+        lambda v, b: model.apply(v, b, train=False, mode="feats"))(
+            variables, planned)
+    jax.tree_util.tree_map(
+        lambda a, b_: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), atol=1e-5), ref, got)

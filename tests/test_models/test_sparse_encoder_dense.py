@@ -76,11 +76,11 @@ def test_dense_strided_mask_semantics():
 
     rng = np.random.default_rng(0)
     z, y, x, c = 8, 10, 10, 4
-    zmask = np.zeros((1, y, x, z), bool)
+    zmask = np.zeros((1, z, y, x), bool)
     sites = [(2, 3, 1), (5, 5, 4), (9, 0, 7)]   # (y, x, z)
     for yy, xx, zz in sites:
-        zmask[0, yy, xx, zz] = True
-    feats = rng.normal(size=(1, y, x, z, c)).astype(np.float32)
+        zmask[0, zz, yy, xx] = True
+    feats = rng.normal(size=(1, z, y, x, c)).astype(np.float32)
     feats[~zmask] = 0.0
     w = rng.normal(size=(3, 3, 3, c, 6)).astype(np.float32)
     out = sparse_conv_dense(DenseGrid(jnp.asarray(feats),
@@ -89,7 +89,7 @@ def test_dense_strided_mask_semantics():
     om = np.asarray(out.zmask[0])
     # brute-force expected mask
     exp = np.zeros_like(om)
-    zo, yo, xo = om.shape[2], om.shape[0], om.shape[1]
+    zo, yo, xo = om.shape
     for oy in range(yo):
         for ox in range(xo):
             for oz in range(zo):
@@ -100,8 +100,8 @@ def test_dense_strided_mask_semantics():
                             iy, ix, iz = (oy * 2 - 1 + ky, ox * 2 - 1 + kx,
                                           oz * 2 - 1 + kz)
                             if 0 <= iy < y and 0 <= ix < x and 0 <= iz < z:
-                                hit |= bool(zmask[0, iy, ix, iz])
-                exp[oy, ox, oz] = hit
+                                hit |= bool(zmask[0, iz, iy, ix])
+                exp[oz, oy, ox] = hit
     np.testing.assert_array_equal(om, exp)
     # features vanish exactly off the active set
     assert np.all(np.asarray(out.feats)[0][~om] == 0.0)

@@ -43,6 +43,29 @@ def test_voxel_plan_matches_device():
     np.testing.assert_array_equal(plan["vmask"], np.asarray(dv.voxel_mask))
 
 
+def test_pillar_plan_matches_device():
+    from isfusion_tpu.ops.voxel import voxelize_hard, voxelize_hard_planned
+
+    pts, mask = _cloud(seed=7)
+    mp, mv = 4, 48
+    plan = hp.pillar_plan(pts, mask, PCR, VS, mp, mv)
+    ref = voxelize_hard(jnp.asarray(pts), jnp.asarray(mask), PCR, VS,
+                        mp, mv)
+    got = voxelize_hard_planned(
+        jnp.asarray(pts), {k: jnp.asarray(v) for k, v in plan.items()},
+        mp, mv)
+    np.testing.assert_array_equal(np.asarray(ref.coors),
+                                  np.asarray(got.coors))
+    np.testing.assert_array_equal(np.asarray(ref.num_points),
+                                  np.asarray(got.num_points))
+    np.testing.assert_array_equal(np.asarray(ref.voxel_mask),
+                                  np.asarray(got.voxel_mask))
+    np.testing.assert_allclose(np.asarray(ref.voxels),
+                               np.asarray(got.voxels))
+    np.testing.assert_array_equal(np.asarray(ref.point_mask),
+                                  np.asarray(got.point_mask))
+
+
 def test_column_and_dilate_plan_match_device():
     pts, mask = _cloud(seed=1)
     cap = 160
@@ -135,3 +158,53 @@ def test_planned_encoder_matches_unplanned(dense_from):
     np.testing.assert_allclose(np.asarray(out_ref), np.asarray(out_pl),
                                atol=1e-5)
     assert float(jnp.abs(out_ref).sum()) > 0
+
+
+def test_make_plan_fn_wiring():
+    """make_plan_fn builds a collate enricher from a detector config and
+    the DataLoader applies it in the prefetch worker."""
+    from isfusion_tpu.datasets.builder import DataLoader
+
+    model_cfg = dict(
+        type="ISFusionDetector",
+        pts_voxel_layer=dict(point_cloud_range=PCR, voxel_size=VS,
+                             max_voxels=(160, 160)),
+        pts_middle_encoder=dict(
+            type="SparseEncoder", sparse_shape=GRID,
+            encoder_channels=((8, 8, 12), (12, 12, 16), (16, 16)),
+            encoder_paddings=((1, 1, 1), (1, 1, 1), (1, 1)),
+            block_type="basicblock", stage_cap_ratios=(0.6, 0.8, 0.5),
+            dilation_ratio=2.0, engine="columns"),
+        voxel_size=VS, pc_range=PCR, out_size_factor=2,
+        fusion_encoder=dict(num_points_in_pillar=4),
+        pillar_max_voxels=(32, 32))
+    fn = hp.make_plan_fn(model_cfg, train=False)
+    assert fn is not None
+    # non-consuming families get no plan_fn
+    assert hp.make_plan_fn(dict(model_cfg, type="VoxelNet"),
+                           train=False) is None
+    assert hp.make_plan_fn(
+        dict(model_cfg,
+             pts_middle_encoder=dict(model_cfg["pts_middle_encoder"],
+                                     engine="window")),
+        train=False) is None
+
+    pts0, mask0 = _cloud(n=300, seed=11)
+    pts1, mask1 = _cloud(n=300, seed=12)
+    ds = [dict(points=pts0, points_mask=mask0),
+          dict(points=pts1, points_mask=mask1)]
+    loader = DataLoader(ds, batch_size=2, shuffle=False, plan_fn=fn)
+    batch = next(iter(loader))
+    assert "sparse_plan" in batch
+    plan = batch["sparse_plan"]
+    for key in ("vidx", "col_ids", "s0_dil_ids", "pil_vidx"):
+        assert key in plan, key
+        assert plan[key].shape[0] == 2
+    # the plan matches a direct per-sample build
+    direct = hp.build_encoder_plan(
+        pts0, mask0, dict(model_cfg["pts_voxel_layer"]),
+        dict(model_cfg["pts_middle_encoder"]), 160,
+        dict(voxel_size=(VS[0] * 2, VS[1] * 2, PCR[5] - PCR[2]),
+             max_points=4, max_voxels=32))
+    for k, v in direct.items():
+        np.testing.assert_array_equal(plan[k][0], v)

@@ -91,7 +91,7 @@ def main():
         cgb = jax.tree_util.tree_map(lambda a: a[None], cg_s)
         dg = jax.jit(lambda g, zl=zl: sd.columns_to_dense(g, zl))(cgb)
         occ = float(jax.device_get(jnp.mean(dg.zmask.astype(jnp.float32))))
-        ny = dg.feats.shape[1]
+        ny = dg.feats.shape[2]
         print(f"-- stage {stage}: z={zl} HW={ny} C={c}  site-occ {occ:.3f}",
               flush=True)
         bench_loop(lambda g, zl=zl: sd.columns_to_dense(g, zl).feats,
@@ -130,7 +130,8 @@ def main():
                     window_dimensions=(1, 3, 3, 3),
                     window_strides=(1, 2, 2, 2),
                     padding=((0, 0), (1, 1), (1, 1), (1, 1)))),
-                dg.zmask, name="  occupancy reduce_window", n1=2, n2=8)
+                dg.zmask, name="  occupancy reduce_window (NDHW)",
+                n1=2, n2=8)
 
         # BN-equivalent: masked mean/var + normalize
         def bn(f, m=dg.zmask):

@@ -51,9 +51,11 @@ def main():
     model = build_detector(dict(cfg.model))
     dataset = build_dataset(cfg.data["test" if "test" in cfg.data
                                      else "val"])
+    from isfusion_tpu.ops.host_plan import make_plan_fn
     loader = build_dataloader(
         dataset, samples_per_gpu=int(cfg.data.get("samples_per_gpu", 1)),
-        shuffle=False, drop_last=False)
+        shuffle=False, drop_last=False,
+        plan_fn=make_plan_fn(dict(cfg.model), train=False))
 
     import optax
     if args.checkpoint:
