@@ -113,16 +113,10 @@ model = dict(
         # measured 914 ms vs 942 all-columns — exact spconv semantics,
         # no capacity caps (ops/sparse_dense.py).
         dense_from_stage=3,
-        # engine='window' (ops/sparse_win.py) cuts z traffic 3x on paper
-        # but measures 1544-1766 ms vs 681/942 for 'columns' at full
-        # scale across three layout/shifter redesigns (round-4 per-op
-        # decomposition in micro_win_ops.py / micro_win_stages.py: the
-        # subm conv is competitive at 19.5 ms, but every strided
-        # downsample pays ~134 ms of structure rebuilds - sorts,
-        # searchsorted, frame re-basing). Kept as a config option;
-        # 'columns' is the measured-faster engine at full scale.
+        # 'columns' is the only engine. A z-windowed alternative was
+        # built and measured 1544-1766 ms vs 681/942 here across three
+        # layout redesigns; deleted in round 4 (PERF.md "window engine").
         engine='columns',
-        win_widths=(16, 16, 12, 8),
         compute_dtype='bfloat16'),
 
     fusion_encoder=dict(

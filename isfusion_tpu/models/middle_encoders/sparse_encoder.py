@@ -29,9 +29,6 @@ from ...ops.sparse_cols import (ColumnGrid, build_column_grid,
                                 subm_conv_col_dil, zconv_col)
 from ...ops.sparse_dense import (DenseGrid, columns_to_dense, dense_to_bev,
                                  sparse_conv_dense, subm_conv_dense)
-from ...ops.sparse_win import (WinGrid, build_win_grid, sparse_conv_win,
-                               subm_conv_win, to_common_frame,
-                               win_rulebook, win_to_dense, zconv_win)
 from ..layers import MaskedBatchNorm, is_sync_norm
 
 
@@ -86,8 +83,6 @@ class _SparseConvModule(nn.Module):
     norm_cfg: Optional[dict] = None
     with_act: bool = True
     axis_name: Optional[str] = None
-    z_total: int = 0          # window engine: input grid's global z
-    out_window: int = 0       # window engine: strided output width
 
     @nn.compact
     def __call__(self, cg, train: bool = False, rulebook=None,
@@ -99,8 +94,6 @@ class _SparseConvModule(nn.Module):
             tuple(self.kernel_size) + (cin, self.out_channels), jnp.float32)
         if isinstance(cg, DenseGrid):
             out = self._dense_conv(cg, w)
-        elif isinstance(cg, WinGrid):
-            out = self._win_conv(cg, w, rulebook)
         elif self.conv_type == "SubMConv3d":
             assert rulebook is not None, \
                 "subm convs run on a dilated grid (see _vmap_dilate)"
@@ -170,39 +163,6 @@ class _SparseConvModule(nn.Module):
             lambda f, ww: sparse_conv_dense(dg.replace(feats=f), ww,
                                             stride, pad))(dg.feats, w)
 
-    def _win_conv(self, cg: WinGrid, w, rulebook) -> WinGrid:
-        """Window-engine conv dispatch (same semantics as the column
-        branches; see ops/sparse_win.py)."""
-        if self.conv_type == "SubMConv3d":
-            assert rulebook is not None, "subm convs need a win_rulebook"
-            feats = jax.checkpoint(lambda f, ww: jax.vmap(
-                lambda g, rs, rf, rd: subm_conv_win(g, ww, (rs, rf, rd)))(
-                    cg.replace(feats=f), *rulebook))(cg.feats, w)
-            return cg.replace(feats=feats)
-        if tuple(self.kernel_size)[1:] == (1, 1):
-            sz = self.stride[0] if isinstance(self.stride,
-                                              (tuple, list)) else self.stride
-            pz = _pad3(self.padding)[0]
-            # remat like the column branches: recompute in backward
-            # instead of keeping the conv intermediates alive
-            return jax.checkpoint(lambda f, ww: jax.vmap(
-                lambda g: zconv_win(g, ww, int(sz), pz))(
-                    cg.replace(feats=f)))(cg.feats, w)
-        stride = _pad3(self.stride)
-        pad = _pad3(self.padding)
-        out_cap = self.out_cap or cg.feats.shape[1]
-        # spread = full z extent: strided downsamples merge columns whose
-        # windows can sit arbitrarily far apart, so the gathered frame
-        # covers everything (EXACT, no drop) — only the few strided convs
-        # pay the wider frame; the dominant subm convs stay windowed.
-        # remat: the 9 gathered (Vc, w+z_total, C) tap frames would
-        # otherwise stay alive for the backward pass
-        return jax.checkpoint(lambda f, ww: jax.vmap(
-            lambda g: sparse_conv_win(
-                g, ww, stride, pad, out_cap, z_total=self.z_total,
-                out_window=self.out_window, spread=self.z_total))(
-                    cg.replace(feats=f)))(cg.feats, w)
-
 
 class _SparseBasicBlock(nn.Module):
     """Residual block of two subm convs (`ops/sparse_block.py:199`)."""
@@ -254,14 +214,12 @@ class SparseEncoder(nn.Module):
     compute_dtype: str = "float32"  # 'bfloat16' halves gather traffic
     z_pad_to: int = 8   # lane-aligned gather rows (see build_column_grid)
     axis_name: Optional[str] = None
-    # engine='window': z-windowed columns (ops/sparse_win.py) — per-column
-    # z windows instead of the full z extent (median active span is 1-4
-    # cells vs 41 stored), active-table-only convs (no x-dilation, so no
-    # dilation-capacity truncation), K=9*Cin im2col convs. win_widths are
-    # the per-stage window widths (entry 0 = build + stage 1).
+    # 'columns' is the only engine. A z-windowed alternative
+    # (ops/sparse_win.py, rounds 3-4) was built, oracle-verified, and
+    # measured 1544-1766 ms vs 681-942 ms whole-encoder at full scale
+    # across three layout/shifter redesigns; it was deleted in round 4
+    # (negative result recorded in PERF.md "window engine").
     engine: str = "columns"
-    win_widths: Sequence[int] = (16, 16, 16, 12)
-    win_align: int = 8
     # Hybrid engine: encoder stages >= this number run as masked dense
     # XLA 3D convs (ops/sparse_dense.py) — exact spconv semantics, no
     # capacity caps, MXU-bound instead of gather-bound. Stage numbering:
@@ -289,17 +247,7 @@ class SparseEncoder(nn.Module):
         def dil_cap_for(stage: int) -> int:
             return max(int(cap_for(stage) * self.dilation_ratio) // 8 * 8, 8)
 
-        win = self.engine == "window"
         if plan is not None:
-            assert not win, "host plans cover the column engine"
-        if win:
-            widths = tuple(int(x) for x in self.win_widths)
-            cg = jax.vmap(lambda f, c, m: build_win_grid(
-                f, c, m, grid, cap_for(0), widths[0],
-                align=int(self.win_align)))(voxel_features, coors,
-                                            voxel_mask)
-            rulebook = jax.vmap(win_rulebook)(cg)
-        elif plan is not None:
             cg = jax.vmap(lambda f, pl: build_column_grid_planned(
                 f, pl, grid, cap_for(0), z_pad_to=self.z_pad_to))(
                     voxel_features,
@@ -321,13 +269,12 @@ class SparseEncoder(nn.Module):
         # each stage's subm convs run on the x-dilated column table; the
         # dilation + y-rulebook are rebuilt only after a strided conv
         # changes the BEV footprint (spconv indice_key reuse semantics).
-        if not win:
-            if dense_from <= 0:
-                cg, rulebook = columns_to_dense(cg, z_log), None
-            else:
-                cg, rulebook = _vmap_dilate(
-                    cg, dil_cap_for(0),
-                    _plan_slice(plan, "s0", _DIL_KEYS))
+        if dense_from <= 0:
+            cg, rulebook = columns_to_dense(cg, z_log), None
+        else:
+            cg, rulebook = _vmap_dilate(
+                cg, dil_cap_for(0),
+                _plan_slice(plan, "s0", _DIL_KEYS))
         # block-level remat: each residual block's z-dense activations are
         # ~365 MB at stage-0 scale; saving every conv output OOMs the
         # 16 GB chip for the train step. nn.remat keeps only block inputs
@@ -357,17 +304,10 @@ class SparseEncoder(nn.Module):
                         out_ch, stride=(2, 2, 2), padding=pad,
                         conv_type="SparseConv3d", out_cap=cap_for(i),
                         norm_cfg=norm_cfg, axis_name=self.axis_name,
-                        z_total=z_log,
-                        out_window=widths[min(i, len(widths) - 1)]
-                        if win else 0,
                         name=name)(cg, train=train, str_plan=_plan_slice(
                             plan, f"str{i}", _STR_KEYS))
                     z_log = (z_log + 2 * pad[0] - 3) // 2 + 1
-                    if isinstance(cg, DenseGrid):
-                        pass
-                    elif win:
-                        rulebook = jax.vmap(win_rulebook)(cg)
-                    else:
+                    if not isinstance(cg, DenseGrid):
                         cg, rulebook = _vmap_dilate(
                             cg, dil_cap_for(i),
                             _plan_slice(plan, f"s{i}", _DIL_KEYS))
@@ -378,9 +318,6 @@ class SparseEncoder(nn.Module):
                             out_ch, stride=(2, 2, 2), padding=pad,
                             conv_type="SparseConv3d", out_cap=cap_for(i + 1),
                             norm_cfg=norm_cfg, axis_name=self.axis_name,
-                            z_total=z_log,
-                            out_window=widths[min(i + 1, len(widths) - 1)]
-                            if win else 0,
                             name=name)(cg, train=train,
                                        str_plan=_plan_slice(
                                            plan, f"str{i + 1}", _STR_KEYS))
@@ -391,8 +328,6 @@ class SparseEncoder(nn.Module):
                             # next stage is dense: convert now, skip the
                             # dilation rebuild entirely
                             cg, rulebook = columns_to_dense(cg, z_log), None
-                        elif win:
-                            rulebook = jax.vmap(win_rulebook)(cg)
                         else:
                             cg, rulebook = _vmap_dilate(
                                 cg, dil_cap_for(i + 1),
@@ -416,11 +351,7 @@ class SparseEncoder(nn.Module):
                 in_ch = out_ch
             encode_features.append(cg)
 
-        if win:
-            # expand windows into the common [0, z_log) frame for the
-            # z-only conv_out and the dense scatter
-            cg = jax.vmap(lambda g: to_common_frame(g, z_log))(cg)
-        elif isinstance(cg, ColumnGrid) and \
+        if isinstance(cg, ColumnGrid) and \
                 cg.feats.shape[2] != z_log:  # drop masked z-pad cells so the
             cg = cg.replace(feats=cg.feats[:, :, :z_log],   # dense BEV has
                             zmask=cg.zmask[:, :, :z_log])   # exact channels
@@ -436,7 +367,7 @@ class SparseEncoder(nn.Module):
         if isinstance(out, DenseGrid):
             dense = dense_to_bev(out)
         else:
-            dense = _vmap_cols(win_to_dense if win else column_to_dense, out)
+            dense = _vmap_cols(column_to_dense, out)
         if self.return_intermediate:
             return dense, encode_features
         return dense

@@ -248,8 +248,8 @@ def dilate_columns(cg: ColumnGrid, dil_cap: int
     nuScenes-scale clouds is ~2.0x the active columns at stage 0; a
     `dil_cap` below that drops ACTIVE columns from the conv (measured
     38%% at full bench scale with dilation_ratio=1.35). Size `dil_cap`
-    ~2.2x the column cap, or use the windowed engine (ops/sparse_win.py),
-    which runs on the active table only and has no dilated capacity.
+    ~2.2x the column cap (the flagship uses dilation_ratio=2.0, which is
+    drop-free at bench density).
     Returns (dilated ColumnGrid, (slots (2, D), found (2, D))) where slots
     row 0 is the y-1 lookup and row 1 the y+1 lookup.
     """

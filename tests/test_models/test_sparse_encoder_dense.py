@@ -14,7 +14,36 @@ import pytest
 import isfusion_tpu.models  # noqa: F401  (register modules)
 from isfusion_tpu.registry import MIDDLE_ENCODERS, build_from_cfg
 
-from test_sparse_encoder_window import GRID, make_inputs  # noqa: E402
+GRID = [40, 32, 32]   # (nz, ny, nx)
+
+
+def make_inputs(seed=0, v_cap=256, n_active=180):
+    """LiDAR-like occupancy: a smoothly-varying "ground" height per BEV
+    position plus small object clusters above it, so neighboring columns
+    carry nearby (but different) z spans — like real clouds. Uniform
+    random heights would be a different workload."""
+    rng = np.random.default_rng(seed)
+    nz, ny, nx = GRID
+    cols = rng.choice(ny * nx, size=80, replace=False)
+    coords = []
+    for col in cols:
+        y, x = col // nx, col % nx
+        ground = 6 + 10 * np.sin(2 * np.pi * x / nx) * \
+            np.sin(2 * np.pi * y / ny)
+        zc = int(np.clip(ground + rng.integers(0, 4), 0, nz - 6))
+        for _ in range(int(rng.integers(1, 4))):
+            coords.append([int(np.clip(zc + rng.integers(-1, 3), 0,
+                                       nz - 1)),
+                           y, x])
+    coords = np.unique(np.array(coords, np.int64), axis=0)[:n_active]
+    n = len(coords)
+    coords = np.concatenate(
+        [coords, np.zeros((v_cap - n, 3), coords.dtype)], 0)
+    mask = np.arange(v_cap) < n
+    feats = rng.normal(size=(v_cap, 6)).astype(np.float32)
+    feats[~mask] = 0
+    return (jnp.asarray(feats), jnp.asarray(coords.astype(np.int32)),
+            jnp.asarray(mask))
 
 
 def make_encoder(block_type, dense_from_stage=99, dilation_ratio=2.5):

@@ -186,7 +186,7 @@ def test_make_plan_fn_wiring():
     assert hp.make_plan_fn(
         dict(model_cfg,
              pts_middle_encoder=dict(model_cfg["pts_middle_encoder"],
-                                     engine="window")),
+                                     engine="not-columns")),
         train=False) is None
 
     pts0, mask0 = _cloud(n=300, seed=11)

@@ -1,10 +1,10 @@
-"""A/B the SparseEncoder engines (columns vs window) on the real chip.
+"""A/B the SparseEncoder engine configs on the real chip.
 
 Builds the flagship, voxelizes the bench cloud once, then times ONLY the
 middle encoder under each engine config on identical device-resident
 inputs. Usage:
   python tools/analysis_tools/ab_sparse_engine.py [variant ...]
-variants: window | columns | columns20 (dilation 2.0) | ... default all.
+variants: columns | columns20 (dilation 2.0) | dense1..4 ... default all.
 """
 from __future__ import annotations
 
@@ -24,7 +24,6 @@ from isfusion_tpu.models.detectors.voxelnet import _capacity
 from isfusion_tpu.ops.voxel import voxelize_dynamic
 
 VARIANTS = {
-    "window": dict(engine="window"),
     "columns": dict(engine="columns"),
     "columns20": dict(engine="columns", dilation_ratio=2.0),
     # dense-stage hybrids (ops/sparse_dense.py): stages >= k as masked
@@ -71,7 +70,7 @@ def main():
 
 def _fabricated_vars(mdl, batch):
     """eval_shape + host-fabricated params: avoids compiling the whole
-    init program per variant (minutes for the window engine)."""
+    init program per variant."""
     import numpy as np
     shapes = jax.eval_shape(lambda b: mdl.init(
         jax.random.PRNGKey(0), b, train=False, mode="feats"), batch)
