@@ -232,6 +232,12 @@ class SparseEncoder(nn.Module):
     @nn.compact
     def __call__(self, voxel_features: jnp.ndarray, coors: jnp.ndarray,
                  voxel_mask: jnp.ndarray, train: bool = False, plan=None):
+        # 'columns' is the only engine (the z-window engine was deleted
+        # in round 4); stale configs must fail loudly, not silently run
+        # a different engine (ADVICE r4)
+        assert self.engine == "columns", \
+            f"unknown sparse engine {self.engine!r} ('columns' is the " \
+            "only engine; 'window' was deleted in round 4)"
         norm_cfg = dict(self.norm_cfg or
                         dict(type="BN1d", eps=1e-3, momentum=0.01))
         grid = tuple(int(g) for g in self.sparse_shape)
@@ -262,9 +268,6 @@ class SparseEncoder(nn.Module):
         z_log = grid[0]
 
         dense_from = int(self.dense_from_stage)
-        if dense_from < 99:
-            assert self.engine == "columns", \
-                "dense_from_stage composes with the column engine"
 
         # each stage's subm convs run on the x-dilated column table; the
         # dilation + y-rulebook are rebuilt only after a strided conv

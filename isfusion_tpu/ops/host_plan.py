@@ -58,9 +58,13 @@ def voxel_plan(points: np.ndarray, point_mask: np.ndarray,
     ny = int(round((pcr[4] - pcr[1]) / vs[1]))
     nz = int(round((pcr[5] - pcr[2]) / vs[2]))
     xyz = points[:, :3].astype(np.float32)
+    # reciprocal computed exactly like the device op (ops/voxel.py:50):
+    # float64 Python division rounded once to float32 — np.float32
+    # reciprocal of a float32 differs by 1 ulp for some sizes and can
+    # flip floor() on voxel-boundary points (ADVICE r4)
     cxyz = np.floor(
         (xyz - np.array(pcr[:3], np.float32)) *
-        (1.0 / np.array(vs, np.float32))).astype(np.int32)
+        np.array([1.0 / v for v in vs], np.float32)).astype(np.int32)
     in_range = np.all((cxyz >= 0) & (cxyz < np.array([nx, ny, nz])),
                       axis=-1)
     valid = point_mask.astype(bool) & in_range
@@ -96,9 +100,10 @@ def pillar_plan(points: np.ndarray, point_mask: np.ndarray,
     ny = int(round((pcr[4] - pcr[1]) / vs[1]))
     nz = int(round((pcr[5] - pcr[2]) / vs[2]))
     xyz = points[:, :3].astype(np.float32)
+    # device-matching reciprocal (see voxel_plan)
     cxyz = np.floor(
         (xyz - np.array(pcr[:3], np.float32)) *
-        (1.0 / np.array(vs, np.float32))).astype(np.int32)
+        np.array([1.0 / v for v in vs], np.float32)).astype(np.int32)
     in_range = np.all((cxyz >= 0) & (cxyz < np.array([nx, ny, nz])),
                       axis=-1)
     valid = point_mask.astype(bool) & in_range
@@ -274,8 +279,12 @@ def build_encoder_plan(points: np.ndarray, point_mask: np.ndarray,
 
     plan = dict(vp)
     if pillar_cfg is not None:
+        # the device pillarizer bins with the MODEL-level pc_range
+        # (ISFusionDetector.pc_range), which may differ from the voxel
+        # layer's range in exotic configs (ADVICE r4)
         pp = pillar_plan(points, point_mask,
-                         voxel_layer["point_cloud_range"],
+                         pillar_cfg.get("point_cloud_range",
+                                        voxel_layer["point_cloud_range"]),
                          pillar_cfg["voxel_size"],
                          int(pillar_cfg["max_points"]),
                          int(pillar_cfg["max_voxels"]))
@@ -295,6 +304,7 @@ def build_encoder_plan(points: np.ndarray, point_mask: np.ndarray,
         plan[f"s0_{k}"] = v
 
     n_stages = len(enc_ch)
+    z_true = nz
     for i in range(n_stages):
         blocks = tuple(enc_ch[i])
         pads = tuple(enc_pad[i])
@@ -310,6 +320,19 @@ def build_encoder_plan(points: np.ndarray, point_mask: np.ndarray,
                  i != n_stages - 1))
             if not is_strided:
                 continue
+            # The plan treats every kept column as a spawner; the device
+            # uses `cmask & any(zmask)`. These agree only when the
+            # strided z conv covers every true input z cell (a column
+            # cannot go zmask-empty through the conv). Insufficient z
+            # padding breaks that — fail loudly (ADVICE r4).
+            z_out = (z_true + 2 * pad3[0] - 3) // 2 + 1
+            assert all(
+                any((z + pad3[0] - dz) % 2 == 0 and
+                    0 <= (z + pad3[0] - dz) // 2 < z_out
+                    for dz in range(3)) for z in range(z_true)), (
+                f"sparse strided stage z padding {pad3[0]} leaves input "
+                f"z cells of extent {z_true} uncovered — host plan "
+                f"spawner set would diverge from the device's")
             out_stage = i if block_type == "conv_module" else i + 1
             sp = strided_plan(
                 ids, cmask & dp["kept"], dp["dil_ids"], cur_ny, cur_nx,
@@ -320,7 +343,13 @@ def build_encoder_plan(points: np.ndarray, point_mask: np.ndarray,
             ids, cmask = sp["out_ids"], sp["out_cmask"]
             cur_ny = (cur_ny + 2 * pad3[1] - 3) // 2 + 1
             cur_nx = (cur_nx + 2 * pad3[2] - 3) // 2 + 1
-            if dense_from <= out_stage + 1 or out_stage >= n_stages - 1:
+            z_true = z_out
+            # emit the dilate plan for every stage that still runs subm
+            # blocks on the sparse engine — including the FINAL stage
+            # (the r4 walk skipped it, silently forfeiting its planned
+            # sorts for non-dense-cutover configs, ADVICE r4); skip only
+            # past the dense cutover
+            if dense_from <= out_stage + 1:
                 dp = None
             else:
                 dp = dilate_plan(ids, cmask, cur_ny, cur_nx,
@@ -375,6 +404,7 @@ def make_plan_fn(model_cfg: Dict, train: bool):
         fe = dict(mc.get("fusion_encoder") or {})
         pillar_cfg = dict(
             voxel_size=(vs[0] * osf, vs[1] * osf, pcr[5] - pcr[2]),
+            point_cloud_range=pcr,
             max_points=int(fe.get("num_points_in_pillar", 12)),
             max_voxels=_cap(mc.get("pillar_max_voxels", (30000, 60000)),
                             (30000, 60000)))
