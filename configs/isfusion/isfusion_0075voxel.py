@@ -113,6 +113,21 @@ model = dict(
         # measured 914 ms vs 942 all-columns — exact spconv semantics,
         # no capacity caps (ops/sparse_dense.py).
         dense_from_stage=3,
+        # Static z WINDOWS on the two sparse tables: LiDAR returns live in
+        # a narrow global z band (ground plane .. max return height). At
+        # bench density the active ranges are exactly [15, 39] of 41 and
+        # [7, 20] of 21 (micro_zdist.py census), so these windows are
+        # DROP-FREE there while cutting z-dense conv FLOPs + gather
+        # traffic 48->25 / 24->14 per table: encoder 766 -> 571 ms
+        # (ab_sparse_engine.py r5: tight 571 / (12,28) 579 / (8,32) 641).
+        # Semantics: voxels outside a window are dropped with the same
+        # documented capacity semantics as the column caps; in metric
+        # units the kept band is z in [-2.0, 3.0) m — ground sits at
+        # -1.84 m (nuScenes ego lidar height), so only sub-ground
+        # returns (slopes below -2.0 m) could ever drop. Strided window
+        # transitions are checked EXACT at trace time
+        # (sparse_encoder.check_window_coverage).
+        z_windows=((15, 25), (7, 14)),
         # 'columns' is the only engine. A z-windowed alternative was
         # built and measured 1544-1766 ms vs 681/942 here across three
         # layout redesigns; deleted in round 4 (PERF.md "window engine").

@@ -71,6 +71,30 @@ def _pad3(p) -> Tuple[int, int, int]:
     return tuple(p) if isinstance(p, (tuple, list)) else (int(p),) * 3
 
 
+def check_window_coverage(z_log_in: int, lo_in: int, w_in: int, pz: int,
+                          z_log_out: int, lo_out: int, w_out: int,
+                          name: str, sz: int = 2, kz: int = 3) -> None:
+    """Static exactness check for a strided conv between z windows.
+
+    The build/window contract is "no active site outside the window", so
+    the conv stays EXACT iff every legal output of every in-window input
+    cell lands inside the output window — otherwise output sites the
+    reference engine would create are silently dropped. Evaluated at
+    trace time over the <=48-cell extent (shared by the host plan walk's
+    spawner reasoning: in-window inputs always spawn in-window outputs)."""
+    for z in range(lo_in, min(lo_in + w_in, z_log_in)):
+        for dz in range(kz):
+            if (z + pz - dz) % sz != 0:
+                continue
+            zo = (z + pz - dz) // sz
+            if 0 <= zo < z_log_out:
+                assert lo_out <= zo < lo_out + w_out, (
+                    f"{name}: in-window input z={z} produces output "
+                    f"z={zo} outside the output window [{lo_out}, "
+                    f"{lo_out + w_out}) — widen the window or move its "
+                    "base (z_windows config)")
+
+
 class _SparseConvModule(nn.Module):
     """conv(+norm)(+act) on a ColumnGrid — make_sparse_convmodule parity."""
 
@@ -83,6 +107,11 @@ class _SparseConvModule(nn.Module):
     norm_cfg: Optional[dict] = None
     with_act: bool = True
     axis_name: Optional[str] = None
+    # z-window plumbing for strided convs (see ops/sparse_cols.py
+    # _zconv_shift): z_shift = sz*z_lo_out - z_lo_in - pz; out_zlen the
+    # output window width. None/0 = plain padded conv.
+    z_shift: Optional[int] = None
+    out_zlen: int = 0
 
     @nn.compact
     def __call__(self, cg, train: bool = False, rulebook=None,
@@ -124,17 +153,18 @@ class _SparseConvModule(nn.Module):
             conv_fn = sparse_conv_col_dil if tuple(
                 self.kernel_size)[1:] == (3, 3) else sparse_conv_col
 
+            zkw = dict(z_shift=self.z_shift, out_zlen=self.out_zlen)
             if conv_fn is sparse_conv_col_dil and str_plan is not None:
                 out = jax.checkpoint(
                     lambda f, ww: jax.vmap(
                         lambda g, pl: sparse_conv_col_dil(
-                            g, ww, stride, pad, out_cap, pl))(
+                            g, ww, stride, pad, out_cap, pl, **zkw))(
                         cg.replace(feats=f), str_plan))(cg.feats, w)
             else:
                 out = jax.checkpoint(
                     lambda f, ww: _vmap_cols(lambda g: conv_fn(
-                        g, ww, stride, pad, out_cap), cg.replace(feats=f)))(
-                            cg.feats, w)
+                        g, ww, stride, pad, out_cap, **zkw),
+                        cg.replace(feats=f)))(cg.feats, w)
         x = out.feats
         if self.norm_cfg is not None:  # noqa: SIM108  (shared tail)
             cfg = dict(self.norm_cfg)
@@ -210,6 +240,21 @@ class SparseEncoder(nn.Module):
     block_type: str = "conv_module"
     stage_cap_ratios: Sequence[float] = (1.0, 1.0, 0.5, 0.25)
     dilation_ratio: float = 1.6  # x-dilated column cap / column cap
+    # per-stage overrides of dilation_ratio: the TRUE x-dilation factor
+    # falls with depth (2.0 at stage 0, ~1.55 at stage 1 on ray-cast
+    # nuScenes-scale clouds — ops/host_plan walk, round 5), and every
+    # subm conv's cost is proportional to the dilated-table size
+    dilation_ratios: Optional[Sequence[float]] = None
+    # Per-stage static z WINDOWS ((z_lo, width) or None = full extent),
+    # indexed by stage table (0 = conv_input + stage-1 blocks). LiDAR
+    # scenes occupy a narrow global z band (ground .. max return height;
+    # measured [15, 39] of 41 cells at stage 0, micro_zdist.py), so a
+    # static window carries every site while cutting conv FLOPs and
+    # gather traffic by width/z. Sites outside a window are dropped with
+    # documented capacity semantics (see build_column_grid); window
+    # transitions are checked exact at trace time (check_window_coverage).
+    # The final sparse stage (feeding conv_out) must be un-windowed.
+    z_windows: Optional[Any] = None
     return_intermediate: bool = False
     compute_dtype: str = "float32"  # 'bfloat16' halves gather traffic
     z_pad_to: int = 8   # lane-aligned gather rows (see build_column_grid)
@@ -251,29 +296,58 @@ class SparseEncoder(nn.Module):
             return max(int(v_cap * r) // 8 * 8, 8)
 
         def dil_cap_for(stage: int) -> int:
-            return max(int(cap_for(stage) * self.dilation_ratio) // 8 * 8, 8)
+            r = self.dilation_ratio
+            if self.dilation_ratios is not None and \
+                    stage < len(self.dilation_ratios):
+                r = self.dilation_ratios[stage]
+            return max(int(cap_for(stage) * float(r)) // 8 * 8, 8)
 
+        n_stages = len(self.encoder_channels)
+        dense_from = int(self.dense_from_stage)
+
+        def win_of(stage: int):
+            """(z_lo, width) of the stage's table, or None = full.
+
+            Table t runs dense iff dense_from <= t + 1 (conversion fires
+            at the loop-top `dense_from == i + 1` for conv_module and at
+            `dense_from <= i + 2` in the basicblock strided branch), so
+            windows apply only to tables with t + 1 < dense_from."""
+            if self.z_windows is None or stage >= len(self.z_windows):
+                return None
+            w = self.z_windows[stage]
+            if w is None:
+                return None
+            assert stage + 1 < dense_from, \
+                "z_windows apply to sparse tables only (dense engine " \
+                "runs the full extent)"
+            assert stage < n_stages - 1, \
+                "the final sparse stage feeds conv_out un-windowed"
+            return int(w[0]), int(w[1])
+
+        win = win_of(0)
         if plan is not None:
             cg = jax.vmap(lambda f, pl: build_column_grid_planned(
-                f, pl, grid, cap_for(0), z_pad_to=self.z_pad_to))(
+                f, pl, grid, cap_for(0), z_pad_to=self.z_pad_to,
+                z_width=win[1] if win else 0))(
                     voxel_features,
                     {k: plan[k] for k in ("col_ids", "cmask", "vox_slot")})
         else:
             cg = jax.vmap(lambda f, c, m: build_column_grid(
-                f, c, m, grid, cap_for(0),
-                z_pad_to=self.z_pad_to))(voxel_features, coors, voxel_mask)
+                f, c, m, grid, cap_for(0), z_pad_to=self.z_pad_to,
+                z_lo=win[0] if win else 0,
+                z_width=win[1] if win else 0))(voxel_features, coors,
+                                               voxel_mask)
         # logical z extent (the unpadded reference arithmetic): pad cells
         # ride along masked-off until the slice before conv_out, so the
         # dense BEV keeps the reference's exact C_out * nz_out channels
         z_log = grid[0]
-
-        dense_from = int(self.dense_from_stage)
+        cur_lo = win[0] if win else 0   # current table's window base
 
         # each stage's subm convs run on the x-dilated column table; the
         # dilation + y-rulebook are rebuilt only after a strided conv
         # changes the BEV footprint (spconv indice_key reuse semantics).
         if dense_from <= 0:
-            cg, rulebook = columns_to_dense(cg, z_log), None
+            cg, rulebook = columns_to_dense(cg, z_log, cur_lo), None
         else:
             cg, rulebook = _vmap_dilate(
                 cg, dil_cap_for(0),
@@ -294,19 +368,51 @@ class SparseEncoder(nn.Module):
 
         encode_features = [cg]
         in_ch = self.base_channels
+
+        def z_transition(t_out: int, pz: int):
+            """(z_shift, out_zlen, lo_out) for the strided conv into
+            stage table ``t_out`` (None/0/0 = plain padded conv on an
+            un-windowed path). Exactness of window transitions is
+            checked statically (check_window_coverage)."""
+            if isinstance(cg, DenseGrid):
+                return None, 0, 0       # dense path ignores z windows
+            z_log_out = (z_log + 2 * pz - 3) // 2 + 1
+            # table t_out runs dense iff dense_from <= t_out + 1 (see
+            # win_of) — its strided-in conv must emit the FULL extent so
+            # columns_to_dense scatters at true z
+            wout = None if dense_from <= t_out + 1 else win_of(t_out)
+            if wout is None:
+                if cur_lo == 0:
+                    return None, 0, 0
+                # windowed input -> full output (window ends): store the
+                # full logical extent, rounded up for lane alignment
+                zp = -(-z_log_out // 4) * 4
+                check_window_coverage(z_log, cur_lo, cg.feats.shape[2],
+                                      pz, z_log_out, 0, zp,
+                                      f"strided into stage {t_out}")
+                return -cur_lo - pz, zp, 0
+            lo_out, wlen = wout
+            check_window_coverage(z_log, cur_lo, cg.feats.shape[2], pz,
+                                  z_log_out, lo_out, wlen,
+                                  f"strided into stage {t_out}")
+            return 2 * lo_out - cur_lo - pz, wlen, lo_out
+
         for i, blocks in enumerate(self.encoder_channels):
             blocks = tuple(blocks)
             pads = tuple(self.encoder_paddings[i])
             if dense_from == i + 1 and not isinstance(cg, DenseGrid):
-                cg, rulebook = columns_to_dense(cg, z_log), None
+                cg, rulebook = columns_to_dense(cg, z_log, cur_lo), None
+                cur_lo = 0
             for j, out_ch in enumerate(blocks):
                 pad = _pad3(pads[j])
                 name = f"encoder_layer{i + 1}_{j}"
                 if i != 0 and j == 0 and self.block_type == "conv_module":
+                    zs, ozl, cur_lo = z_transition(i, pad[0])
                     cg = _SparseConvModule(
                         out_ch, stride=(2, 2, 2), padding=pad,
                         conv_type="SparseConv3d", out_cap=cap_for(i),
                         norm_cfg=norm_cfg, axis_name=self.axis_name,
+                        z_shift=zs, out_zlen=ozl,
                         name=name)(cg, train=train, str_plan=_plan_slice(
                             plan, f"str{i}", _STR_KEYS))
                     z_log = (z_log + 2 * pad[0] - 3) // 2 + 1
@@ -317,10 +423,12 @@ class SparseEncoder(nn.Module):
                 elif self.block_type == "basicblock":
                     if j == len(blocks) - 1 and \
                             i != len(self.encoder_channels) - 1:
+                        zs, ozl, cur_lo = z_transition(i + 1, pad[0])
                         cg = _SparseConvModule(
                             out_ch, stride=(2, 2, 2), padding=pad,
                             conv_type="SparseConv3d", out_cap=cap_for(i + 1),
                             norm_cfg=norm_cfg, axis_name=self.axis_name,
+                            z_shift=zs, out_zlen=ozl,
                             name=name)(cg, train=train,
                                        str_plan=_plan_slice(
                                            plan, f"str{i + 1}", _STR_KEYS))
@@ -329,7 +437,9 @@ class SparseEncoder(nn.Module):
                             pass
                         elif dense_from <= i + 2:
                             # next stage is dense: convert now, skip the
-                            # dilation rebuild entirely
+                            # dilation rebuild entirely (z_transition
+                            # un-windowed the strided output: cur_lo 0)
+                            assert cur_lo == 0
                             cg, rulebook = columns_to_dense(cg, z_log), None
                         else:
                             cg, rulebook = _vmap_dilate(

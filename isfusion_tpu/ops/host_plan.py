@@ -140,18 +140,28 @@ def pillar_plan(points: np.ndarray, point_mask: np.ndarray,
 
 def column_plan(vox_coors: np.ndarray, vmask: np.ndarray,
                 grid: Sequence[int], col_cap: int,
-                z_pad_to: int = 1) -> Dict[str, np.ndarray]:
+                z_pad_to: int = 1, z_lo: int = 0,
+                z_width: int = 0) -> Dict[str, np.ndarray]:
     """Mirror of sparse_cols.build_column_grid: column table + per-voxel
-    flat scatter slot (slot * nz_padded + z; trash = col_cap * nz)."""
+    flat scatter slot (slot * nz_padded + z; trash = col_cap * nz).
+    ``(z_lo, z_width)`` mirror the device op's z WINDOW: the z_lo
+    subtraction is baked into vox_slot (window-relative), voxels outside
+    go to the trash slot — but the column table still counts them (a
+    column whose voxels all fall outside keeps its slot, empty zmask)."""
     nz, ny, nx = (int(g) for g in grid)
-    nz = -(-nz // int(z_pad_to)) * int(z_pad_to)
+    if z_width:
+        nz = int(z_width)
+    else:
+        z_lo = 0
+        nz = -(-nz // int(z_pad_to)) * int(z_pad_to)
     bev_ids = np.where(vmask,
                        vox_coors[:, 1] * nx + vox_coors[:, 2],
                        INT_MAX).astype(np.int32)
     col_ids, cmask = _unique_capped(bev_ids, col_cap)
     slot = _searchsorted_clamped(col_ids, bev_ids, col_cap)
-    found = vmask & (col_ids[slot] == bev_ids)
-    flat = np.where(found, slot * nz + vox_coors[:, 0],
+    zw = vox_coors[:, 0] - int(z_lo)
+    found = vmask & (col_ids[slot] == bev_ids) & (zw >= 0) & (zw < nz)
+    flat = np.where(found, slot * nz + zw,
                     col_cap * nz).astype(np.int32)
     return dict(col_ids=col_ids, cmask=cmask, vox_slot=flat)
 
@@ -260,6 +270,8 @@ def build_encoder_plan(points: np.ndarray, point_mask: np.ndarray,
     ratios = tuple(encoder_cfg.get("stage_cap_ratios",
                                    (1.0, 1.0, 0.5, 0.25)))
     dil_ratio = float(encoder_cfg.get("dilation_ratio", 1.6))
+    dil_ratios = encoder_cfg.get("dilation_ratios")
+    z_windows = encoder_cfg.get("z_windows")
     dense_from = int(encoder_cfg.get("dense_from_stage", 99))
     z_pad_to = int(encoder_cfg.get("z_pad_to", 8))
     enc_ch = encoder_cfg.get(
@@ -275,7 +287,10 @@ def build_encoder_plan(points: np.ndarray, point_mask: np.ndarray,
         return max(int(v_cap * r) // 8 * 8, 8)
 
     def dil_cap_for(stage):
-        return max(int(cap_for(stage) * dil_ratio) // 8 * 8, 8)
+        r = dil_ratio
+        if dil_ratios is not None and stage < len(dil_ratios):
+            r = dil_ratios[stage]
+        return max(int(cap_for(stage) * float(r)) // 8 * 8, 8)
 
     plan = dict(vp)
     if pillar_cfg is not None:
@@ -291,8 +306,13 @@ def build_encoder_plan(points: np.ndarray, point_mask: np.ndarray,
         for k, v in pp.items():
             plan[f"pil_{k}"] = v
     nz, ny, nx = grid
+    win0 = None
+    if z_windows is not None and len(z_windows) > 0:
+        win0 = z_windows[0]
     cp = column_plan(vp["vox_coors"], vp["vmask"], grid, cap_for(0),
-                     z_pad_to=z_pad_to)
+                     z_pad_to=z_pad_to,
+                     z_lo=int(win0[0]) if win0 else 0,
+                     z_width=int(win0[1]) if win0 else 0)
     plan.update(cp)
     ids, cmask = cp["col_ids"], cp["cmask"]
     cur_ny, cur_nx = ny, nx

@@ -67,7 +67,8 @@ def _yx(ids: jnp.ndarray, nx: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
 
 def build_column_grid(feats: jnp.ndarray, coords: jnp.ndarray,
                       mask: jnp.ndarray, grid: Sequence[int],
-                      col_cap: int, z_pad_to: int = 1) -> ColumnGrid:
+                      col_cap: int, z_pad_to: int = 1,
+                      z_lo: int = 0, z_width: int = 0) -> ColumnGrid:
     """(V, C) voxel rows + (V, 3) zyx coords -> ColumnGrid.
 
     Columns beyond `col_cap` are dropped (the capacity-overflow behavior the
@@ -80,17 +81,31 @@ def build_column_grid(feats: jnp.ndarray, coords: jnp.ndarray,
     elements (lane-aligned; measured 136 vs 88 GB/s at stage-0 scale,
     `tools/analysis_tools/micro_dma_gather.py`). 41 -> 48 keeps every
     encoder stage's row length a 256 multiple (48*16, 24*32, 12*64...).
+
+    ``(z_lo, z_width)`` (z_width > 0) stores only the global z WINDOW
+    [z_lo, z_lo + z_width): cell w holds true z = z_lo + w. LiDAR scenes
+    occupy a narrow static z band (ground plane .. max return height —
+    measured [15, 39] of 41 at 0.2 m cells, micro_zdist.py), so a static
+    window carries every site while cutting conv FLOPs and gather
+    traffic by z_width/nz. Voxels outside the window are dropped with
+    the same documented capacity semantics as `col_cap` (a column whose
+    voxels ALL fall outside keeps its table slot with an empty zmask).
     """
     nz, ny, nx = (int(g) for g in grid)
-    nz = -(-nz // int(z_pad_to)) * int(z_pad_to)
+    if z_width:
+        nz = int(z_width)
+    else:
+        z_lo = 0
+        nz = -(-nz // int(z_pad_to)) * int(z_pad_to)
     v, c = feats.shape
     bev_ids = jnp.where(mask, coords[:, 1] * nx + coords[:, 2],
                         _INT_MAX).astype(jnp.int32)
     col_ids, cmask = unique_sorted_ids(bev_ids, col_cap)
     slot = jnp.searchsorted(col_ids, bev_ids, method="sort").astype(jnp.int32)
     slot = jnp.minimum(slot, col_cap - 1)
-    found = mask & (col_ids[slot] == bev_ids)
-    flat = jnp.where(found, slot * nz + coords[:, 0], col_cap * nz)
+    zw = coords[:, 0] - z_lo
+    found = mask & (col_ids[slot] == bev_ids) & (zw >= 0) & (zw < nz)
+    flat = jnp.where(found, slot * nz + zw, col_cap * nz)
     fbuf = jnp.zeros((col_cap * nz + 1, c), feats.dtype)
     fbuf = fbuf.at[flat].set(jnp.where(found[:, None], feats, 0.0),
                              mode="drop", unique_indices=True)
@@ -103,13 +118,17 @@ def build_column_grid(feats: jnp.ndarray, coords: jnp.ndarray,
 
 def build_column_grid_planned(feats: jnp.ndarray, plan: dict,
                               grid: Sequence[int], col_cap: int,
-                              z_pad_to: int = 1) -> ColumnGrid:
+                              z_pad_to: int = 1,
+                              z_width: int = 0) -> ColumnGrid:
     """`build_column_grid` from a host plan (`ops/host_plan.column_plan`)
     keyed by the voxel table: `vox_slot` is each voxel row's flat
     destination slot * nz_padded + z (trash = col_cap * nz), so the
-    build is ONE scatter — the device sort/searchsorted is gone."""
+    build is ONE scatter — the device sort/searchsorted is gone.
+    With ``z_width`` the plan's slots are already window-relative
+    (host_plan bakes the z_lo subtraction into vox_slot)."""
     nz, ny, nx = (int(g) for g in grid)
-    nz = -(-nz // int(z_pad_to)) * int(z_pad_to)
+    nz = int(z_width) if z_width \
+        else -(-nz // int(z_pad_to)) * int(z_pad_to)
     v, c = feats.shape
     flat = plan["vox_slot"]
     ok = flat < col_cap * nz
@@ -189,6 +208,30 @@ def _zconv(x: jnp.ndarray, w: jnp.ndarray, stride: int = 1,
         x, w.astype(x.dtype), window_strides=(stride,),
         padding=[(padding, padding)],
         dimension_numbers=("NWC", "WIO", "NWC"),
+        preferred_element_type=x.dtype)
+
+
+def _zconv_shift(x: jnp.ndarray, w: jnp.ndarray, stride: int, t: int,
+                 out_len: int) -> jnp.ndarray:
+    """Shifted strided z-conv between two z WINDOWS:
+    out[:, o] = sum_dz w[dz] * x[:, stride*o + dz + t] (zero outside x).
+
+    This is the window-coordinate form of a strided conv whose input
+    window starts at true z = z_lo_in and whose output window starts at
+    z_lo_out: t = stride*z_lo_out - z_lo_in - padding. t = -padding and
+    the dense out_len recovers the plain padded conv. All static."""
+    kz = w.shape[0]
+    need = stride * (out_len - 1) + kz     # input cells from index t on
+    lpad = max(0, -t)
+    start = max(0, t)
+    take = max(0, min(x.shape[1] - start, need - lpad))
+    xw = x[:, start:start + take]
+    rpad = need - lpad - take
+    if lpad or rpad:
+        xw = jnp.pad(xw, ((0, 0), (lpad, rpad), (0, 0)))
+    return jax.lax.conv_general_dilated(
+        xw, w.astype(x.dtype), window_strides=(stride,),
+        padding=[(0, 0)], dimension_numbers=("NWC", "WIO", "NWC"),
         preferred_element_type=x.dtype)
 
 
@@ -339,7 +382,9 @@ def subm_conv_col_dil(cg: ColumnGrid, weight: jnp.ndarray,
 
 def sparse_conv_col_dil(cg: ColumnGrid, weight: jnp.ndarray, stride,
                         padding, out_col_cap: int,
-                        plan: Optional[dict] = None) -> ColumnGrid:
+                        plan: Optional[dict] = None,
+                        z_shift: Optional[int] = None,
+                        out_zlen: int = 0) -> ColumnGrid:
     """Strided sparse conv from an x-dilated input grid.
 
     Same u-factorization as `subm_conv_col_dil`: one fat z-conv (with z
@@ -351,6 +396,10 @@ def sparse_conv_col_dil(cg: ColumnGrid, weight: jnp.ndarray, stride,
     ``plan`` (host-precomputed, `ops/host_plan.strided_plan`) supplies
     out_ids/out_cmask/tap_j/tap_found and skips the on-device
     unique-sort + searchsorted (~35 ms/conv at stage-1 bench scale).
+
+    ``(z_shift, out_zlen)`` run the z conv between two z WINDOWS (see
+    `_zconv_shift`): z_shift = sz*z_lo_out - z_lo_in - pz, out_zlen the
+    output window width. Defaults reproduce the plain padded conv.
     """
     kz, ky, kx, cin, cout = weight.shape
     assert kx == 3 and ky == 3
@@ -358,6 +407,10 @@ def sparse_conv_col_dil(cg: ColumnGrid, weight: jnp.ndarray, stride,
     p = (padding,) * 3 if isinstance(padding, int) else tuple(padding)
     sz, sy, sx = (int(v) for v in s)
     pz, py, px = (int(v) for v in p)
+    if z_shift is None:
+        z_shift = -pz
+    if not out_zlen:
+        out_zlen = (cg.feats.shape[1] + 2 * pz - kz) // sz + 1
     # the center-column trick (xc = xo*sx - px + 1) requires the 3 kx
     # taps to be the {-1,0,+1} x-neighbors of an in-range center; px >= 2
     # would silently drop border receptive-field contributions
@@ -389,8 +442,8 @@ def sparse_conv_col_dil(cg: ColumnGrid, weight: jnp.ndarray, stride,
 
     # partials at every input column (kx folded into the contraction,
     # ky stacked on Cout), with the z stride applied inside the conv
-    um = _zconv(_x_im2col(cg), _w_cat(weight), stride=sz,
-                padding=pz).astype(dt)
+    um = _zconv_shift(_x_im2col(cg), _w_cat(weight), sz, z_shift,
+                      out_zlen).astype(dt)
     zmask_f = (cg.zmask & cg.cmask[:, None]).astype(dt)
     mrolls = jnp.concatenate([
         jnp.where(_roll_match(cg.ids, cg.cmask, nx, -1)[:, None],
@@ -400,7 +453,8 @@ def sparse_conv_col_dil(cg: ColumnGrid, weight: jnp.ndarray, stride,
                   jnp.roll(zmask_f, -1, axis=0), 0.0)[..., None]], -1)
     # one output channel: every output tap sums ALL 3 x-roll mask
     # channels, so a (kz, 3, 3) ones kernel computed 3 identical outputs
-    mm = _zconv(mrolls, jnp.ones((kz, 3, 1), dt), stride=sz, padding=pz)
+    mm = _zconv_shift(mrolls, jnp.ones((kz, 3, 1), dt), sz, z_shift,
+                      out_zlen)
 
     # per-ky gather at the output's center input column (fused search)
     if plan is None:
@@ -433,13 +487,15 @@ def sparse_conv_col_dil(cg: ColumnGrid, weight: jnp.ndarray, stride,
 
 
 def sparse_conv_col(cg: ColumnGrid, weight: jnp.ndarray, stride, padding,
-                    out_col_cap: int, z_in: Optional[int] = None
-                    ) -> ColumnGrid:
+                    out_col_cap: int, z_in: Optional[int] = None,
+                    z_shift: Optional[int] = None,
+                    out_zlen: int = 0) -> ColumnGrid:
     """Strided sparse conv generating new output columns/sites.
 
     weight (kz, ky, kx, Cin, Cout), ky=kx=3 (or 1 for z-only convs);
     stride/padding int or 3-tuple (z, y, x). Output site active iff any
     input site lies in its receptive field (spconv SparseConv3d).
+    ``(z_shift, out_zlen)`` as in `sparse_conv_col_dil`.
     """
     kz, ky, kx, cin, cout = weight.shape
     s = (stride, stride, stride) if isinstance(stride, int) else tuple(stride)
@@ -448,7 +504,9 @@ def sparse_conv_col(cg: ColumnGrid, weight: jnp.ndarray, stride, padding,
     pz, py, px = (int(v) for v in p)
     ny, nx = cg.bev
     z = cg.feats.shape[1]
-    z_out = (z + 2 * pz - kz) // sz + 1
+    if z_shift is None:
+        z_shift = -pz
+    z_out = int(out_zlen) if out_zlen else (z + 2 * pz - kz) // sz + 1
     ny_o = (ny + 2 * py - ky) // sy + 1
     nx_o = (nx + 2 * px - kx) // sx + 1
 
@@ -495,11 +553,12 @@ def sparse_conv_col(cg: ColumnGrid, weight: jnp.ndarray, stride, padding,
         ky_, kx_ = t // kx, t % kx
         nbr = jnp.where(found[t][:, None, None],
                         _gather_rows(cg.feats, j[t]), 0.0)
-        contrib = _zconv(nbr, weight[:, ky_, kx_], stride=sz, padding=pz)
+        contrib = _zconv_shift(nbr, weight[:, ky_, kx_], sz, z_shift,
+                               z_out)
         acc = contrib if acc is None else acc + contrib
         mrow = jnp.where(found[t][:, None], zmask_f[..., 0][j[t]],
                          0.0)[..., None]
-        mc = _zconv(mrow, ones_w, stride=sz, padding=pz)
+        mc = _zconv_shift(mrow, ones_w, sz, z_shift, z_out)
         zm = mc if zm is None else zm + mc
     out_zmask = (zm[..., 0] > 0.5) & out_cmask[:, None]
     feats = jnp.where(out_zmask[..., None], acc, 0.0).astype(cg.feats.dtype)

@@ -52,15 +52,21 @@ class DenseGrid:
     zmask: jnp.ndarray   # (B, D, H, W) bool
 
 
-def columns_to_dense(cg: ColumnGrid, z_logical: int) -> DenseGrid:
+def columns_to_dense(cg: ColumnGrid, z_logical: int,
+                     z_lo: int = 0) -> DenseGrid:
     """Batched ColumnGrid (leading vmap axis) -> DenseGrid.
 
     Slices the column engine's lane-alignment z padding back to the
     logical extent (pad cells are masked-off zeros, so this is lossless).
     One scatter of (Vc, z*C) rows per sample + one transpose to the
-    depth-major conv layout."""
+    depth-major conv layout. ``z_lo`` re-bases a z-WINDOWED grid
+    (sparse_cols.build_column_grid z window): stored cell w scatters to
+    true z = z_lo + w; cells outside the window are zero by the window
+    contract."""
     ny, nx = cg.bev
-    zl = min(cg.feats.shape[2], int(z_logical))
+    z_logical = int(z_logical)
+    z_lo = int(z_lo)
+    zl = min(cg.feats.shape[2], z_logical - z_lo)
 
     def one(feats, zmask, ids, cmask):
         vc, _, c = feats.shape
@@ -78,6 +84,10 @@ def columns_to_dense(cg: ColumnGrid, z_logical: int) -> DenseGrid:
                 mflat[:-1].reshape(ny, nx, zl).transpose(2, 0, 1))
 
     feats, zmask = jax.vmap(one)(cg.feats, cg.zmask, cg.ids, cg.cmask)
+    if z_lo or zl < z_logical:
+        pad = ((0, 0), (z_lo, z_logical - z_lo - zl), (0, 0), (0, 0))
+        feats = jnp.pad(feats, pad + ((0, 0),))
+        zmask = jnp.pad(zmask, pad)
     return DenseGrid(feats, zmask)
 
 

@@ -46,7 +46,8 @@ def make_inputs(seed=0, v_cap=256, n_active=180):
             jnp.asarray(mask))
 
 
-def make_encoder(block_type, dense_from_stage=99, dilation_ratio=2.5):
+def make_encoder(block_type, dense_from_stage=99, dilation_ratio=2.5,
+                 z_windows=None):
     return build_from_cfg(dict(
         type="SparseEncoder", in_channels=6,
         sparse_shape=list(GRID), base_channels=8, output_channels=16,
@@ -54,6 +55,7 @@ def make_encoder(block_type, dense_from_stage=99, dilation_ratio=2.5):
         encoder_paddings=((1, 1), (1, 1, 1)[:2], (1, 1), ((0, 1, 1), 1)),
         block_type=block_type, engine="columns",
         dense_from_stage=dense_from_stage, dilation_ratio=dilation_ratio,
+        z_windows=z_windows,
         norm_cfg=dict(type="BN1d", eps=1e-3, momentum=0.01),
     ), MIDDLE_ENCODERS)
 
@@ -77,6 +79,89 @@ def test_dense_hybrid_matches_columns(block_type, dense_from):
     out_d = np.asarray(enc_d.apply(var, bf, bc, bm, train=False))
     assert out_c.shape == out_d.shape
     np.testing.assert_allclose(out_d, out_c, rtol=2e-4, atol=2e-4)
+
+
+def make_band_inputs(seed=1, v_cap=256, n_active=180, z_band=(8, 22)):
+    """Like make_inputs but the active z band is confined to ``z_band``
+    — the regime a static z WINDOW (SparseEncoder.z_windows) targets."""
+    rng = np.random.default_rng(seed)
+    nz, ny, nx = GRID
+    lo, hi = z_band
+    cols = rng.choice(ny * nx, size=80, replace=False)
+    coords = []
+    for col in cols:
+        y, x = col // nx, col % nx
+        ground = (lo + hi) / 2 + (hi - lo) / 2.5 * \
+            np.sin(2 * np.pi * x / nx) * np.sin(2 * np.pi * y / ny)
+        zc = int(np.clip(ground + rng.integers(0, 3), lo, hi - 2))
+        for _ in range(int(rng.integers(1, 4))):
+            coords.append([int(np.clip(zc + rng.integers(-1, 3), lo, hi)),
+                           y, x])
+    coords = np.unique(np.array(coords, np.int64), axis=0)[:n_active]
+    n = len(coords)
+    coords = np.concatenate(
+        [coords, np.zeros((v_cap - n, 3), coords.dtype)], 0)
+    mask = np.arange(v_cap) < n
+    feats = rng.normal(size=(v_cap, 6)).astype(np.float32)
+    feats[~mask] = 0
+    return (jnp.asarray(feats), jnp.asarray(coords.astype(np.int32)),
+            jnp.asarray(mask))
+
+
+# active band [8, 22] at table 0; exact images under the pz=1 stride-2
+# transitions: [6, 23] -> [3, 12] -> [1, 6] (check_window_coverage pins
+# these statically at trace time)
+_WINS = ((6, 18), (3, 10), (1, 6))
+
+
+@pytest.mark.parametrize("block_type,dense_from,wins", [
+    ("basicblock", 99, _WINS),          # all-sparse, all tables windowed
+    ("basicblock", 3, _WINS[:2]),       # hybrid: windowed cols -> dense
+    ("conv_module", 2, _WINS[:1]),
+])
+def test_z_windowed_matches_full(block_type, dense_from, wins):
+    """With every active site inside the configured z windows, the
+    windowed encoder is numerically identical to the full-extent one
+    (same parameter tree, one init drives both)."""
+    feats, coords, mask = make_band_inputs()
+    bf, bc, bm = feats[None], coords[None], mask[None]
+    enc_f = make_encoder(block_type, dense_from_stage=dense_from)
+    enc_w = make_encoder(block_type, dense_from_stage=dense_from,
+                         z_windows=wins)
+    var = enc_f.init(jax.random.PRNGKey(0), bf, bc, bm, train=False)
+    out_f = np.asarray(enc_f.apply(var, bf, bc, bm, train=False))
+    out_w = np.asarray(enc_w.apply(var, bf, bc, bm, train=False))
+    assert out_f.shape == out_w.shape
+    np.testing.assert_allclose(out_w, out_f, rtol=2e-4, atol=2e-4)
+
+
+def test_z_window_coverage_check_fires():
+    """A window that cannot hold the strided image of its input window
+    must fail loudly at trace time, not silently drop sites."""
+    feats, coords, mask = make_band_inputs()
+    bf, bc, bm = feats[None], coords[None], mask[None]
+    enc = make_encoder("basicblock", z_windows=((6, 18), (5, 4)))
+    with pytest.raises(AssertionError, match="outside the output window"):
+        enc.init(jax.random.PRNGKey(0), bf, bc, bm, train=False)
+
+
+def test_z_windowed_grads_finite():
+    feats, coords, mask = make_band_inputs(seed=3)
+    enc = make_encoder("basicblock", dense_from_stage=3,
+                       z_windows=_WINS[:2])
+    bf, bc, bm = feats[None], coords[None], mask[None]
+    var = enc.init(jax.random.PRNGKey(0), bf, bc, bm, train=True)
+
+    def loss(p):
+        out, _ = enc.apply(
+            {**var, "params": p}, bf, bc, bm, train=True,
+            mutable=["batch_stats"])
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    g = jax.grad(loss)(var["params"])
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    assert sum(float(jnp.abs(l).sum()) for l in leaves) > 0
 
 
 def test_dense_hybrid_grads_finite():

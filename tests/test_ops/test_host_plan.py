@@ -125,8 +125,16 @@ def test_column_and_dilate_plan_match_device():
                                np.asarray(out_pl.feats), atol=1e-5)
 
 
-@pytest.mark.parametrize("dense_from", [99, 2])
-def test_planned_encoder_matches_unplanned(dense_from):
+@pytest.mark.parametrize("dense_from,z_windows", [
+    (99, None),
+    (2, None),
+    # GRID z=11 with active z cells spanning [0, 10]: window (2, 8)
+    # DROPS cells {0, 1, 10} — planned and unplanned must agree
+    # bit-exactly under drops too (window-relative vox_slot baking);
+    # drop-free window equality is test_z_windowed_matches_full's job.
+    (99, ((2, 8), (1, 5))),
+])
+def test_planned_encoder_matches_unplanned(dense_from, z_windows):
     from isfusion_tpu.models.middle_encoders.sparse_encoder import \
         SparseEncoder
 
@@ -138,7 +146,8 @@ def test_planned_encoder_matches_unplanned(dense_from):
         encoder_channels=((8, 8, 12), (12, 12, 16), (16, 16)),
         encoder_paddings=((1, 1, 1), (1, 1, 1), (1, 1)),
         block_type="basicblock", stage_cap_ratios=(0.6, 0.8, 0.5),
-        dilation_ratio=2.0, dense_from_stage=dense_from, z_pad_to=8)
+        dilation_ratio=2.0, dense_from_stage=dense_from, z_pad_to=8,
+        z_windows=z_windows)
     plan = hp.build_encoder_plan_batch(
         pts[None], mask[None], vl, enc_cfg, cap)
 

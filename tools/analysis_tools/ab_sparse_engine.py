@@ -37,6 +37,19 @@ VARIANTS = {
                    dense_from_stage=3),
     "dense4": dict(engine="columns", dilation_ratio=2.0,
                    dense_from_stage=4),
+    # static z windows on the sparse tables (tables 0/1 under dense3):
+    # bench-cloud active ranges are [15, 39] and [7, 20]
+    # (micro_zdist.py) — all three variants are drop-free at bench
+    # density; they differ in margin below ground vs stored width.
+    "zwin_tight": dict(engine="columns", dilation_ratio=2.0,
+                       dense_from_stage=3,
+                       z_windows=((15, 25), (7, 14))),
+    "zwin_mid": dict(engine="columns", dilation_ratio=2.0,
+                     dense_from_stage=3,
+                     z_windows=((12, 28), (6, 15))),
+    "zwin_align": dict(engine="columns", dilation_ratio=2.0,
+                       dense_from_stage=3,
+                       z_windows=((8, 32), (4, 20))),
 }
 
 

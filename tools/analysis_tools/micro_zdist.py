@@ -91,7 +91,9 @@ def strided_out(zyx: np.ndarray, nz: int, ny: int, nx: int,
             yo = yo // s
             for dx in range(k):
                 xo = zyx[:, 2] + pad[2] - dx
-                ok = oky & (xo % s == 0) & (zo >= 0) & (zo < nz_o) & \
+                okx = oky & (xo % s == 0)
+                xo = xo // s
+                ok = okx & (zo >= 0) & (zo < nz_o) & \
                     (yo >= 0) & (yo < ny_o) & (xo >= 0) & (xo < nx_o)
                 outs.append(np.stack([zo[ok], yo[ok], xo[ok]], -1))
     out = np.unique(np.concatenate(outs), axis=0)
