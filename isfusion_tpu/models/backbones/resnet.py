@@ -45,16 +45,23 @@ class Bottleneck(nn.Module):
     stride: int = 1
     norm_cfg: Optional[dict] = None
     expansion: int = 4
+    # mmcv ResNet style: 'pytorch' strides on conv2, 'caffe' on conv1
+    # (the reference FCOS3D checkpoint is ResNet-101-caffe,
+    # `configs/fcos3d/fcos3d_r101_caffe_fpn_gn-head_2x8_1x_nus-mono3d.py`)
+    style: str = "pytorch"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         norm = dict(self.norm_cfg or dict(type="BN"))
         identity = x
         out_ch = self.planes * self.expansion
-        out = nn.Conv(self.planes, (1, 1), use_bias=False, name="conv1")(x)
+        s1, s2 = (self.stride, 1) if self.style == "caffe" \
+            else (1, self.stride)
+        out = nn.Conv(self.planes, (1, 1), strides=s1, use_bias=False,
+                      name="conv1")(x)
         out = Norm(norm, name="bn1")(out, train=train)
         out = nn.relu(out)
-        out = nn.Conv(self.planes, (3, 3), strides=self.stride, padding=1,
+        out = nn.Conv(self.planes, (3, 3), strides=s2, padding=1,
                       use_bias=False, name="conv2")(out)
         out = Norm(norm, name="bn2")(out, train=train)
         out = nn.relu(out)
@@ -105,10 +112,13 @@ class ResNet(nn.Module):
         for i in range(self.num_stages):
             planes = self.base_channels * (2 ** i)
             for j in range(layers[i]):
+                kw = dict(style=self.style) if block_cls is Bottleneck \
+                    else {}
                 x = block_cls(planes,
                               stride=self.strides[i] if j == 0 else 1,
                               norm_cfg=norm,
-                              name=f"layer{i + 1}_{j}")(x, train=bn_train)
+                              name=f"layer{i + 1}_{j}", **kw)(x,
+                                                              train=bn_train)
             if i in self.out_indices:
                 outs.append(x)
         return tuple(outs)

@@ -535,6 +535,128 @@ def convert_lidar_torch_to_flax(sd: Dict[str, "object"],
     return out, missing
 
 
+def convert_camera_torch_to_flax(sd: Dict[str, "object"],
+                                 variables: Dict) -> Tuple[Dict, list]:
+    """Converter for the camera-only detector families (FCOS3D,
+    ImVoxelNet — `/root/reference/configs/fcos3d/`,
+    `mmdet3d/models/detectors/imvoxelnet.py`): mmdet ResNet
+    (`backbone.conv1/bn1/layer{i}.{j}.conv{k}/bn{k}/downsample`) + FPN
+    (`neck.lateral_convs/fpn_convs`, extra levels appended to fpn_convs)
+    + FCOSMono3DHead branches
+    (`mmdet3d/models/dense_heads/anchor_free_mono3d_head.py:181-274`:
+    cls_convs/reg_convs ConvModules with GN, conv_*_prev towers, plain
+    conv_cls/conv_regs.{g}/conv_dir_cls/conv_attr/conv_centerness,
+    per-level scales.{lvl}.{0..2}.scale) or the plain Anchor3DHead convs
+    (ImVoxelNet). ImVoxelNet's `neck_3d_m` has no weight-level mapping —
+    this repo's OutdoorImVoxelNeck is a documented simplification of the
+    reference's ResModule stack — and is reported as missing."""
+    import copy
+    out = copy.deepcopy(
+        {"params": variables["params"],
+         "batch_stats": variables.get("batch_stats", {})})
+    missing = []
+
+    # our FPN names laterals by ABSOLUTE input index (`lateral_{i}`,
+    # i from start_level); the reference's ModuleList is 0-based
+    lat_idx = sorted(
+        int(k.split("_")[-1])
+        for k in variables["params"].get("neck_m", {})
+        if k.startswith("lateral_"))
+    lat_base = lat_idx[0] if lat_idx else 0
+    n_lat = len(lat_idx)
+
+    def bn(base, leaf, col):
+        table = {("scale", "params"): ".weight", ("bias", "params"): ".bias",
+                 ("mean", "stats"): ".running_mean",
+                 ("var", "stats"): ".running_var"}
+        return _t(sd[base + table[(leaf, col)]])
+
+    def convmodule(base, rest, col, norm="gn"):
+        """Our ConvModule subtree (Conv_0 | Norm_0/{GroupNorm_0,
+        BatchNorm_0}) -> mmcv ConvModule (.conv + .{gn|bn})."""
+        if rest[0] == "Conv_0":
+            return conv2d_w(sd[base + ".conv.weight"]) \
+                if rest[-1] == "kernel" else _t(sd[base + ".conv.bias"])
+        if rest[1] == "GroupNorm_0":
+            return _t(sd[f"{base}.{norm}." +
+                         ("weight" if rest[-1] == "scale" else "bias")])
+        return bn(f"{base}.{norm}", rest[-1], col)
+
+    def resolve(path, v):
+        col = "stats" if path[0] == "batch_stats" else "params"
+        p = path[1:]
+        mod = p[0]
+        try:
+            if mod == "backbone_m":
+                if p[1] == "conv1":
+                    return conv2d_w(sd["backbone.conv1.weight"])
+                if p[1] == "bn1":
+                    return bn("backbone.bn1", p[-1], col)
+                m = re.match(r"layer(\d+)_(\d+)", p[1])
+                base = f"backbone.layer{m.group(1)}.{m.group(2)}"
+                if p[2] == "downsample":
+                    return conv2d_w(sd[base + ".downsample.0.weight"])
+                if p[2] == "downsample_bn":
+                    return bn(base + ".downsample.1", p[-1], col)
+                cm = re.match(r"(conv|bn)(\d)", p[2])
+                if cm.group(1) == "conv":
+                    return conv2d_w(sd[f"{base}.conv{cm.group(2)}.weight"])
+                return bn(f"{base}.bn{cm.group(2)}", p[-1], col)
+            if mod == "neck_m":
+                nm = re.match(r"(lateral|fpn_conv|extra_conv)_(\d+)", p[1])
+                kind, i = nm.group(1), int(nm.group(2))
+                ref_i = {"lateral": i - lat_base, "fpn_conv": i,
+                         "extra_conv": n_lat + i}[kind]
+                lst = "lateral_convs" if kind == "lateral" else "fpn_convs"
+                return convmodule(f"neck.{lst}.{ref_i}", p[2:], col)
+            if mod == "bbox_head_m":
+                hb = "bbox_head"
+                name = p[1]
+                sm = re.match(r"scale(\d+)_(offset|depth|size)", name)
+                if sm:
+                    k = {"offset": 0, "depth": 1, "size": 2}[sm.group(2)]
+                    return _t(sd[f"{hb}.scales.{sm.group(1)}.{k}.scale"])
+                tm = re.match(r"(cls_convs|reg_convs|conv_cls_prev|"
+                              r"conv_dir_prev|conv_attr_prev|"
+                              r"conv_centerness_prev)_(\d+)", name)
+                if tm:
+                    ref = {"conv_dir_prev": "conv_dir_cls_prev"}.get(
+                        tm.group(1), tm.group(1))
+                    return convmodule(f"{hb}.{ref}.{tm.group(2)}",
+                                      p[2:], col)
+                gm = re.match(r"conv_reg_prev_(\d+)_(\d+)", name)
+                if gm:
+                    return convmodule(
+                        f"{hb}.conv_reg_prevs.{gm.group(1)}.{gm.group(2)}",
+                        p[2:], col)
+                rm = re.match(r"conv_reg_(\d+)", name)
+                base = f"{hb}.conv_regs.{rm.group(1)}" if rm \
+                    else f"{hb}.{name}"
+                key = base + (".weight" if p[-1] == "kernel" else ".bias")
+                return conv2d_w(sd[key]) if p[-1] == "kernel" \
+                    else _t(sd[key])
+        except (KeyError, AttributeError):
+            return None
+        return None
+
+    def visit(tree, path):
+        for k in list(tree.keys()):
+            v = tree[k]
+            if isinstance(v, dict):
+                visit(v, path + (k,))
+            else:
+                r = resolve(path + (k,), v)
+                if r is None:
+                    missing.append("/".join(path + (k,)))
+                else:
+                    tree[k] = np.asarray(r, dtype=np.asarray(v).dtype)
+
+    visit(out["params"], ("params",))
+    if out["batch_stats"]:
+        visit(out["batch_stats"], ("batch_stats",))
+    return out, missing
+
+
 def _centerhead_final_idx(sd, task_base: str) -> int:
     """SeparateHead branch Sequential: ConvModule x (convs-1) then a
     final plain Conv2d; its index is the first `{i}.weight` key."""
@@ -567,6 +689,11 @@ def convert_detector_torch_to_flax(sd: Dict[str, "object"],
         # voxel/middle encoders resolve identically in both families
         return False
 
+    # camera-only trees (FCOS3D/ImVoxelNet) use distinct top-level names
+    # (backbone_m/neck_m/bbox_head_m without the pts_/img_ prefixes), so
+    # their routing never collides with the two LiDAR/fusion families
+    camera_mods = {m for m in ("backbone_m", "neck_m", "neck_3d_m",
+                               "bbox_head_m") if m in params}
     out_a, miss_a = convert_isfusion_torch_to_flax(sd, variables)
     out_b, miss_b = convert_lidar_torch_to_flax(sd, variables)
     miss_b_set = set(miss_b)
@@ -577,6 +704,26 @@ def convert_detector_torch_to_flax(sd: Dict[str, "object"],
                                    if p.split("/")[1] in lidar_mods}) |
                    {p for p in miss_b_set
                     if p.split("/")[1] in lidar_mods})
+    if camera_mods:
+        out_c, miss_c = convert_camera_torch_to_flax(sd, variables)
+        still = sorted((set(still) -
+                        {p for p in still
+                         if p.split("/")[1] in camera_mods}) |
+                       {p for p in miss_c
+                        if p.split("/")[1] in camera_mods})
+
+        def merge_cam(a, b, path):
+            for k in list(a.keys()):
+                pa = path + (k,)
+                if isinstance(a[k], dict):
+                    merge_cam(a[k], b[k], pa)
+                elif pa[1] in camera_mods:
+                    a[k] = b[k]
+
+        merge_cam(out_a["params"], out_c["params"], ("params",))
+        if out_a.get("batch_stats"):
+            merge_cam(out_a["batch_stats"], out_c["batch_stats"],
+                      ("batch_stats",))
 
     def merge(a, b, path):
         for k in list(a.keys()):

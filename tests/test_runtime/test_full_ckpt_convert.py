@@ -60,6 +60,8 @@ def tiny_variables():
 
 def _torch_shape(key: str, leaf_shape, leaf_path: str):
     """Reference-layout shape for a captured torch key."""
+    if len(leaf_shape) == 0:       # scalar (e.g. mmdet Scale.scale)
+        return ()
     if key.endswith("in_proj_weight"):
         e = leaf_shape[0] if len(leaf_shape) == 3 else \
             leaf_shape[0] * leaf_shape[1]
