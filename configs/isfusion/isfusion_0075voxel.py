@@ -22,14 +22,21 @@ region_drop_info = [
     {0: {'max_tokens': 36, 'drop_range': (0, 100000)}},
 ]
 
-# fixed capacities for the static-shape TPU pipeline. The sparse encoder's
-# cost is proportional to the voxel cap (gather-bound), so eval uses the
-# same 120k budget as training — at 0.075 m / 10 sweeps this keeps >95% of
-# in-range voxels (the reference's max_voxels/-1 keeps all; SURVEY.md §7
-# design decision 2 covers the bounded-drop contract).
+# Fixed capacities for the static-shape TPU pipeline (the reference's
+# max_voxels=(-1,-1) dynamic voxelization keeps all voxels; SURVEY.md §7
+# design decision 2 covers the bounded-drop contract). Quantified at
+# bench density (250k-point ray-cast cloud, 0.075 m voxels): 156,444
+# in-range voxels. The r1-r4 cap of 120k kept only 76.7% of them — and
+# because the drop order is ascending linear id (z-major), it truncated
+# the scene at z = -0.6 m, losing everything above wholesale. 160k keeps
+# 100.0% at bench density (r5 census, PERF.md). Encoder cost does NOT
+# scale with this cap — it scales with the COLUMN caps below, which are
+# sized to the measured column tables independently.
 max_points = 250000          # padded point budget (10 sweeps)
-max_voxels = (120000, 120000)
-pillar_max_voxels = (30000, 30000)
+max_voxels = (160000, 160000)
+# active 0.6 m pillars measured 15,340 of 32,400 cells at bench density;
+# 20k (30% margin) vs the old 30k trims the pillarize + P2G gather cost
+pillar_max_voxels = (20000, 20000)
 
 model = dict(
     type='ISFusionDetector',
@@ -94,20 +101,23 @@ model = dict(
                           (256, 256)),
         encoder_paddings=((0, 0, 1), (0, 0, 1), (0, 0, [0, 1, 1]), (0, 0)),
         block_type='basicblock',
-        # column capacities per stage (x BEV-column count, not voxels):
-        # measured on ray-cast nuScenes-scale clouds the active columns are
-        # ~107k / 116k / 56k / 22k, so these hold ~every real site while
-        # the round-1 voxel caps dropped ~2/3 of stage-1 sites.
-        stage_cap_ratios=(0.9, 1.0, 0.5, 0.25),
-        # dilated-table capacity: at ray-cast bench density (250k pts)
-        # the true x-dilation factor is ~2.0; a smaller ratio DROPS active
-        # columns from stage 1 on (1.35 dropped ~38%, an accuracy
-        # divergence the reference does not have — its dynamic
-        # voxelization uses max_voxels=(-1,-1) and drops nothing; the
-        # 120k cap above is this repo's static-shape adaptation). 2.0 is
-        # drop-free at bench density: EXACTNESS OVER the ~260 ms it costs
-        # (942 vs 681 ms whole-encoder, ab_sparse_engine.py, round 4).
+        # Column capacities per stage table (x v_cap=160k). Exact
+        # uncapped column counts at bench density (r5 host walk):
+        # 123,119 / 108,536 / 55,536 / 22,193 — these ratios give caps
+        # (128000, 114400, 58000, 23200), i.e. every real column with
+        # 4-5% margin. (The r4 config's 0.9x120k=108k stage-0 cap only
+        # sufficed because the 120k VOXEL cap had already cut the scene.)
+        stage_cap_ratios=(0.80, 0.715, 0.3625, 0.145),
+        # Per-stage x-dilated-table capacities (x the column caps above).
+        # The TRUE dilation factor falls with depth — measured 2.00 /
+        # 1.51 / 1.30 at stages 0/1/2 (r5 host walk: 246,041 / 164,149 /
+        # 72,268 dilated columns) — and every subm conv's cost is
+        # proportional to its dilated table, so the r4 global 2.0 wasted
+        # ~26% of stage-1 conv work on empty slots. Drop-free at bench
+        # density with 4-8% margin: EXACTNESS first, like the 160k voxel
+        # cap above (the reference drops nothing).
         dilation_ratio=2.0,
+        dilation_ratios=(2.0, 1.55, 1.4, 1.4),
         # stages >= 3 run as masked dense XLA 3D convs: at C>=128 the
         # native conv hits 112-162 TF/s (micro_conv_forms.py) and dense3
         # measured 914 ms vs 942 all-columns — exact spconv semantics,

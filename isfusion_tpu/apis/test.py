@@ -19,11 +19,16 @@ def single_device_test(model, state: TrainState, loader,
                        mesh=None) -> List[dict]:
     """Run inference over a DataLoader; returns per-sample numpy dicts
     (bboxes/scores/labels/mask) aligned with dataset order."""
+    import sys
+    import time
+
     from .train import _device_put_batch
     predict = make_eval_step(model, mesh=mesh)
     n_dev = int(np.prod(list(mesh.shape.values()))) if mesh is not None \
         else 1
     results: List[dict] = []
+    t_post_compile = None   # wall clock from after the first (compiling)
+    n_post = 0              # batch — the steady-state throughput number
     for batch in loader:
         arrays = {k: v for k, v in batch.items() if k != "img_metas"} \
             if isinstance(batch, dict) else batch
@@ -43,4 +48,13 @@ def single_device_test(model, state: TrainState, loader,
         out = jax.device_get(predict(state, arrays))
         for i in range(b_true):
             results.append({k: np.asarray(v[i]) for k, v in out.items()})
+        if t_post_compile is None:
+            t_post_compile = time.perf_counter()
+        else:
+            n_post += b_true
+    if n_post:
+        dt = time.perf_counter() - t_post_compile
+        print(f"[eval] steady-state wall: {n_post} samples / {dt:.1f} s "
+              f"= {n_post / dt:.3f} samples/s (input pipeline + device, "
+              "first batch excluded)", file=sys.stderr, flush=True)
     return results

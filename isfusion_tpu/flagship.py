@@ -59,11 +59,22 @@ def build_isfusion_flagship(tiny: bool = False,
     point/voxel/pillar capacities and image size (same topology).
     ``tiny_compute_dtype`` overrides the tiny variant's per-module
     compute_dtype (default f32 — CPU dryruns; tests pass 'bfloat16' to
-    golden-check the mixed-precision policy on small shapes)."""
+    golden-check the mixed-precision policy on small shapes).
+
+    Env ``ISFUSION_CFG_JSON`` merges dotted-key overrides into the model
+    config (e.g. '{"pts_middle_encoder.z_windows": null}') — the bench/
+    bisect hook for A/Bing config knobs without editing the config."""
+    import json
+
     from .config import Config
     from .models import build_detector
 
     cfg = Config.fromfile(ISFUSION_CFG)
+    over = os.environ.get("ISFUSION_CFG_JSON")
+    if over:
+        cfg.merge_from_dict({f"model.{k}" if not k.startswith("model.")
+                             else k: v
+                             for k, v in json.loads(over).items()})
     model_cfg = dict(cfg.model)
     if tiny:
         tcd = tiny_compute_dtype
@@ -110,7 +121,11 @@ def build_isfusion_flagship(tiny: bool = False,
             # scalar convert/transpose fusions that dominated the step
             # (~70% of a 590 s profile); bf16 is a TPU policy, not part
             # of what the sharding dryrun certifies
-            compute_dtype=tcd or "float32")
+            compute_dtype=tcd or "float32",
+            # the full config's z windows are tuned to the 41-cell bench
+            # z grid; the tiny fixture has its own z distribution — run
+            # the full extent (windows are a perf knob, not semantics)
+            z_windows=None)
         model_cfg["fusion_encoder"] = dict(
             model_cfg["fusion_encoder"], embed_dims=32, bev_size=bev,
             grid_size=[[bev, bev, 1], [bev // 2, bev // 2, 1]],

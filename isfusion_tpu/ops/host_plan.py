@@ -69,10 +69,14 @@ def voxel_plan(points: np.ndarray, point_mask: np.ndarray,
                       axis=-1)
     valid = point_mask.astype(bool) & in_range
     coors = np.stack([cxyz[:, 2], cxyz[:, 1], cxyz[:, 0]], axis=-1)
+    # int32 ids throughout: a mixed int32-table/int64-query searchsorted
+    # silently promotes (copies) the table per call — measured ~20 ms per
+    # call at 250k points on the bench host
+    assert nz * ny * nx < INT_MAX, "grid too large for int32 linear ids"
     ids = np.where(valid,
                    coors[:, 0] * (ny * nx) + coors[:, 1] * nx + coors[:, 2],
-                   INT_MAX).astype(np.int64)
-    uids, umask = _unique_capped(ids.astype(np.int32), max_voxels)
+                   INT_MAX).astype(np.int32)
+    uids, umask = _unique_capped(ids, max_voxels)
     slot = _searchsorted_clamped(uids, ids, max_voxels)
     keep = valid & (uids[slot] == ids)
     vidx = np.where(keep, slot, max_voxels).astype(np.int32)
@@ -108,10 +112,11 @@ def pillar_plan(points: np.ndarray, point_mask: np.ndarray,
                       axis=-1)
     valid = point_mask.astype(bool) & in_range
     coors = np.stack([cxyz[:, 2], cxyz[:, 1], cxyz[:, 0]], axis=-1)
+    assert nz * ny * nx < INT_MAX, "grid too large for int32 linear ids"
     ids = np.where(valid,
                    coors[:, 0] * (ny * nx) + coors[:, 1] * nx + coors[:, 2],
-                   INT_MAX).astype(np.int64)
-    uids, umask = _unique_capped(ids.astype(np.int32), max_voxels)
+                   INT_MAX).astype(np.int32)
+    uids, umask = _unique_capped(ids, max_voxels)
     slot = _searchsorted_clamped(uids, ids, max_voxels)
     found = valid & (uids[slot] == ids)
     # rank = position among same-id points in original order
