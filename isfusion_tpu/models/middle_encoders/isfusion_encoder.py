@@ -235,6 +235,12 @@ class ISFusionEncoder(nn.Module):
     img_level: int = 1      # which img FPN level feeds P2G (`forward:1160`)
     random_noise: Optional[float] = 1.0
     compute_dtype: Optional[str] = None
+    # profiling knob (tools/analysis_tools/fusion_profile.py): return the
+    # intermediate named here ('p2g' | 'fusion' | 'sst0' | 'igf' |
+    # 'stage1' | 'sst1'); XLA dead-code-eliminates everything after it,
+    # so timing prefixes and differencing gives per-block costs without
+    # restructuring the module. None = normal forward.
+    return_after: Optional[str] = None
 
     # ------------------------------------------------------ point-to-grid
     def _img_to_bev(self, img_feat, pillars, pillar_coors, pillar_mask,
@@ -348,10 +354,14 @@ class ISFusionEncoder(nn.Module):
         img_bev = self._img_to_bev(
             img_lvl, pillars, pillar_coors, pillar_mask,
             pillar_num_points, calib, train)
+        if self.return_after == "p2g":
+            return img_bev
 
         bev = ConvModule(half, kernel_size=3, padding=1, norm_cfg=norm2d,
                          dtype=dt, name="conv_fusion")(
             jnp.concatenate([img_bev, lidar_feats], -1), train=train)
+        if self.return_after == "fusion":
+            return bev
 
         b, h, w, _ = bev.shape
         x = bev
@@ -366,6 +376,8 @@ class ISFusionEncoder(nn.Module):
                       in_channel=half if lvl == 0 else None,
                       compute_dtype=self.compute_dtype,
                       name=f"grid2region_{lvl}")(x, train=train)
+            if self.return_after == f"sst{lvl}":
+                return x
             if lvl == 0:
                 # ---- IGF (`instance_fusion:1090`) ----
                 hm = ConvModule(half, kernel_size=3, padding=1,
@@ -434,10 +446,14 @@ class ISFusionEncoder(nn.Module):
                 x = Instane2SceneAtt(d_model=half, dtype=dt,
                                      name="instance_to_scene_att")(
                     scene_tokens, x_ins, x, train=train)
+                if self.return_after == "igf":
+                    return x
             feat, x = pts_backbone(x, stage=f"stage{lvl + 1}",
                                    train=train) \
                 if lvl < num_levels - 1 else \
                 (pts_backbone(x, stage=f"stage{lvl + 1}", train=train),
                  None)
             return_feats.append(feat)
+            if self.return_after == f"stage{lvl + 1}":
+                return feat
         return return_feats, ins_heatmap

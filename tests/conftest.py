@@ -13,8 +13,15 @@ import os
 
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8").strip()
+    _flags = (_flags + " --xla_force_host_platform_device_count=8").strip()
+# The suite is XLA:CPU COMPILE-dominated (LLVM passes, not test compute):
+# backend opt level 0 + no expensive LLVM passes cut the cold fast tier
+# ~2.3x on the worst files with identical numerics (same HLO semantics,
+# only less codegen optimization; measured round 5).
+if "xla_backend_optimization_level" not in _flags:
+    _flags += (" --xla_backend_optimization_level=0"
+               " --xla_llvm_disable_expensive_passes=true")
+os.environ["XLA_FLAGS"] = _flags
 os.environ["JAX_PLATFORMS"] = "cpu"   # env ships JAX_PLATFORMS=axon
 
 # Persistent compile cache: XLA compilation dominates test wall-time; cache
