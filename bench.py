@@ -77,34 +77,25 @@ def main() -> None:
             import numpy as np
             from isfusion_tpu.config import Config
             from isfusion_tpu.flagship import ISFUSION_CFG
-            from isfusion_tpu.models.detectors.voxelnet import _capacity
-            from isfusion_tpu.ops.host_plan import build_encoder_plan_batch
+            from isfusion_tpu.ops.host_plan import make_plan_fn
             cfg = Config.fromfile(ISFUSION_CFG)
-            vl = dict(cfg.model["pts_voxel_layer"])
-            enc = dict(cfg.model["pts_middle_encoder"])
-            cap = _capacity(vl.get("max_voxels", 120000), False)
-            vs = list(cfg.model["voxel_size"])
-            osf = int(cfg.model.get("out_size_factor", 8))
-            pcr = list(cfg.model["pc_range"])
-            fe = dict(cfg.model["fusion_encoder"])
-            pillar_cfg = dict(
-                voxel_size=(vs[0] * osf, vs[1] * osf, pcr[5] - pcr[2]),
-                max_points=int(fe.get("num_points_in_pillar", 12)),
-                max_voxels=_capacity(
-                    cfg.model.get("pillar_max_voxels", (30000, 60000)),
-                    False))
-            pts_np = np.asarray(batch["points"])
-            pm_np = np.asarray(batch["points_mask"])
+            # the PRODUCTION plan path (same enricher the DataLoader
+            # installs), so the bench covers everything the plan carries
+            # — incl. the per-camera P2G partition (r5)
+            plan_fn = make_plan_fn(dict(cfg.model), train=False)
+            assert plan_fn is not None
+            host_batch = {k: np.asarray(v) for k, v in batch.items()}
         variants = []
         t_plan = time.perf_counter()
         for i in range(max(2, min(4, steps))):
             b2 = dict(batch)
             if use_plan:
-                pv = pts_np + 1e-3 * (i + 1)
-                b2["points"] = pv
-                b2["sparse_plan"] = build_encoder_plan_batch(
-                    pv, pm_np, vl, enc, cap, pillar_cfg)
-                b2 = jax.device_put(b2)
+                hb = dict(host_batch)
+                hb["points"] = host_batch["points"] + 1e-3 * (i + 1)
+                hb = plan_fn(hb)
+                assert "p2g_src" in hb["sparse_plan"], \
+                    "p2g partition overflowed at bench scale"
+                b2 = jax.device_put(hb)
             else:
                 b2["points"] = batch["points"] + 1e-3 * (i + 1)
             variants.append(b2)

@@ -155,7 +155,17 @@ model = dict(
         region_shape=region_shape,
         grid_size=grid_size,
         region_drop_info=region_drop_info,
-        instance_num=200),
+        instance_num=200,
+        # per-camera P2G partition capacities (host plan,
+        # ops/host_plan.p2g_plan): measured per-camera primary counts at
+        # bench density are <= 19,827 of P/6 = 40,000 and secondary
+        # (multi-camera overlap) <= 9,509 — these caps carry every
+        # contribution with ~20-25% margin while sampling 216k positions
+        # instead of the brute path's 1.44M (6 cams x all 240k slots).
+        # Overflow on any sample -> the plan omits p2g and the device
+        # brute path runs (exactness is never at stake).
+        p2g_cam_cap=24000,
+        p2g_sec_per_cam=12000),
 
     pts_backbone=dict(
         type='SECONDV2',

@@ -131,9 +131,13 @@ class ISFusionDetector(MVXTwoStageDetector):
                 p, m, self.pc_range, self._pillar_size(), n_pillar_pts,
                 pillar_cap))(points, points_mask)
 
+        p2g = None
+        if plan is not None and "p2g_src" in plan:
+            p2g = {k: plan[k] for k in plan if k.startswith("p2g_")}
         feats_list, ins_heatmap = self.fusion_encoder_m(
             img_feats, lidar_bev, pil.voxels, pil.coors, pil.voxel_mask,
-            pil.num_points, calib, self.pts_backbone_m, train=train)
+            pil.num_points, calib, self.pts_backbone_m, train=train,
+            p2g=p2g)
 
         x = self.pts_neck_m(feats_list, train=train)
         preds = self.pts_bbox_head_m(x, img_feats, train=train)

@@ -235,6 +235,12 @@ class ISFusionEncoder(nn.Module):
     img_level: int = 1      # which img FPN level feeds P2G (`forward:1160`)
     random_noise: Optional[float] = 1.0
     compute_dtype: Optional[str] = None
+    # host-plan capacities for the per-camera P2G partition
+    # (ops/host_plan.p2g_plan; consumed by make_plan_fn, not the module):
+    # sampled block size per camera and secondary (overlap) budget.
+    # None = the plan's defaults (P/num_views and cap/4).
+    p2g_cam_cap: Optional[int] = None
+    p2g_sec_per_cam: Optional[int] = None
     # profiling knob (tools/analysis_tools/fusion_profile.py): return the
     # intermediate named here ('p2g' | 'fusion' | 'sst0' | 'igf' |
     # 'stage1' | 'sst1'); XLA dead-code-eliminates everything after it,
@@ -244,7 +250,8 @@ class ISFusionEncoder(nn.Module):
 
     # ------------------------------------------------------ point-to-grid
     def _img_to_bev(self, img_feat, pillars, pillar_coors, pillar_mask,
-                    num_points, calib, train: bool) -> jnp.ndarray:
+                    num_points, calib, train: bool,
+                    p2g=None) -> jnp.ndarray:
         """img_feat (B, Nv, h, w, C) one FPN level -> (B, bev, bev, C).
 
         Memory note: a naive all-cameras-at-once gather materializes
@@ -253,6 +260,14 @@ class ISFusionEncoder(nn.Module):
         points in pillar chunks via ``lax.map``, keeping the live set to
         one (chunk*T, C) tap at a time while the MXU-facing math is
         unchanged.
+
+        ``p2g`` (host plan, `ops/host_plan.p2g_plan`) switches to the
+        per-camera partition: every pillar slot is sampled in ONE camera
+        block (a total permutation undone by one row gather), the ~10%
+        two-camera-overlap contributions ride a small scatter-add — ~6x
+        less bilinear gather traffic than the brute masked all-cameras
+        form. The device re-applies its exact validity mask, so the
+        host's superset filter never changes the math.
         """
         b, nv = img_feat.shape[:2]
         vp, t = pillars.shape[1:3]
@@ -276,7 +291,7 @@ class ISFusionEncoder(nn.Module):
                 0.0)
 
         def single(feat_v, pts, coors, pmask, npts, l2i, img_aug,
-                   lidar_aug, nz):
+                   lidar_aug, nz, plan=None):
             xyz = pts[..., :3].reshape(vp * t, 3)
             # project to ALL cameras at once (cheap: coords only)
             uv, depth, front = project_points_to_cameras(
@@ -286,28 +301,59 @@ class ISFusionEncoder(nn.Module):
             gy = uv[..., 1] / img_hw[0] * 2 - 1
             valid = front & (gx > -1) & (gx < 1) & (gy > -1) & (gy < 1)
             grid = jnp.stack([gx, gy], -1)               # (Nv, VpT, 2)
-            pad = vp_pad * t - vp * t
-            grid = jnp.pad(grid, ((0, 0), (0, pad), (0, 0)))
-            validp = jnp.pad(valid, ((0, 0), (0, pad)))
-            grid = grid.reshape(nv, nchunk, chunk * t, 2)
-            validp = validp.reshape(nv, nchunk, chunk * t)
 
-            def cam_step(acc, cam):
-                feat, g, v = cam
+            if plan is not None:
+                p_tot = vp * t
+                cap = plan["p2g_src"].shape[0] // nv
+                # one row gather fetches coords + validity per sampled
+                # position; tail positions (never-valid slots) are
+                # zero-padded, not sampled
+                gv = jnp.concatenate(
+                    [grid, valid[..., None].astype(grid.dtype)],
+                    -1).reshape(nv * p_tot, 3)
+                g_pos = gv[plan["p2g_src"]]
+                sampled = jnp.concatenate([
+                    grid_sample(feat_v[ci],
+                                g_pos[ci * cap:(ci + 1) * cap, :2])
+                    for ci in range(nv)], 0).astype(feat_v.dtype)
+                sampled = jnp.where(g_pos[:, 2:3] > 0.5, sampled, 0.0)
+                sampled = jnp.pad(
+                    sampled, ((0, p_tot - nv * cap), (0, 0)))
+                acc = sampled[plan["p2g_iperm"]]
+                scap = plan["p2g_sec_src"].shape[0] // nv
+                g2 = gv[plan["p2g_sec_src"]]
+                s2 = jnp.concatenate([
+                    grid_sample(feat_v[ci],
+                                g2[ci * scap:(ci + 1) * scap, :2])
+                    for ci in range(nv)], 0).astype(feat_v.dtype)
+                ok2 = (g2[:, 2] > 0.5) & plan["p2g_sec_ok"]
+                s2 = jnp.where(ok2[:, None], s2, 0.0)
+                acc = acc.at[plan["p2g_sec_slot"]].add(s2, mode="drop")
+                samp = acc.reshape(vp, t, c)
+            else:
+                pad = vp_pad * t - vp * t
+                gridp = jnp.pad(grid, ((0, 0), (0, pad), (0, 0)))
+                validp = jnp.pad(valid, ((0, 0), (0, pad)))
+                gridp = gridp.reshape(nv, nchunk, chunk * t, 2)
+                validp = validp.reshape(nv, nchunk, chunk * t)
 
-                def chunk_fn(args):
-                    g_c, v_c = args
-                    # f32 grid coords x bf16 feats promote to f32; the
-                    # accumulator keeps the feature dtype
-                    s = grid_sample(feat, g_c).astype(acc.dtype)
-                    return jnp.where(v_c[..., None], s, 0.0)
+                def cam_step(acc, cam):
+                    feat, g, v = cam
 
-                samp = jax.lax.map(chunk_fn, (g, v))     # (nchunk, cT, C)
-                return acc + samp.reshape(vp_pad * t, c), None
+                    def chunk_fn(args):
+                        g_c, v_c = args
+                        # f32 grid coords x bf16 feats promote to f32;
+                        # the accumulator keeps the feature dtype
+                        s = grid_sample(feat, g_c).astype(acc.dtype)
+                        return jnp.where(v_c[..., None], s, 0.0)
 
-            acc0 = jnp.zeros((vp_pad * t, c), feat_v.dtype)
-            acc, _ = jax.lax.scan(cam_step, acc0, (feat_v, grid, validp))
-            samp = acc[:vp * t].reshape(vp, t, c)
+                    samp_ = jax.lax.map(chunk_fn, (g, v))
+                    return acc + samp_.reshape(vp_pad * t, c), None
+
+                acc0 = jnp.zeros((vp_pad * t, c), feat_v.dtype)
+                acc, _ = jax.lax.scan(cam_step, acc0,
+                                      (feat_v, gridp, validp))
+                samp = acc[:vp * t].reshape(vp, t, c)
             tmask = (jnp.arange(t)[None, :] < npts[:, None]) & \
                 pmask[:, None]
             pillar_feat = jnp.where(tmask[..., None], samp, 0.0).sum(1)
@@ -319,16 +365,19 @@ class ISFusionEncoder(nn.Module):
             return canvas.reshape(bevsz, bevsz, c)
 
         ident4 = jnp.broadcast_to(jnp.eye(4), (b, nv, 4, 4))
-        return jax.vmap(single)(
-            img_feat, pillars, pillar_coors, pillar_mask, num_points,
-            calib["lidar2img"], calib.get("img_aug_matrix", ident4),
-            calib.get("lidar_aug_matrix",
-                      jnp.broadcast_to(jnp.eye(4), (b, 4, 4))), noise)
+        args = (img_feat, pillars, pillar_coors, pillar_mask, num_points,
+                calib["lidar2img"], calib.get("img_aug_matrix", ident4),
+                calib.get("lidar_aug_matrix",
+                          jnp.broadcast_to(jnp.eye(4), (b, 4, 4))), noise)
+        if p2g is not None:
+            return jax.vmap(lambda *a: single(*a[:-1], plan=a[-1]))(
+                *args, p2g)
+        return jax.vmap(single)(*args)
 
     @nn.compact
     def __call__(self, img_feats, lidar_feats, pillars, pillar_coors,
                  pillar_mask, pillar_num_points, calib, pts_backbone,
-                 train: bool = False):
+                 train: bool = False, p2g=None):
         emb = self.embed_dims
         half = emb // 2
         norm2d = dict(type="BN2d")
@@ -353,7 +402,7 @@ class ISFusionEncoder(nn.Module):
             lidar_feats = lidar_feats.astype(dt)
         img_bev = self._img_to_bev(
             img_lvl, pillars, pillar_coors, pillar_mask,
-            pillar_num_points, calib, train)
+            pillar_num_points, calib, train, p2g=p2g)
         if self.return_after == "p2g":
             return img_bev
 

@@ -254,6 +254,146 @@ def strided_plan(active_ids: np.ndarray, active_cmask: np.ndarray,
                 tap_j=j, tap_found=found)
 
 
+def _project_uv(xyz: np.ndarray, lidar2img: np.ndarray,
+                lidar_aug: Optional[np.ndarray],
+                img_aug: Optional[np.ndarray],
+                eps: float = 1e-5) -> Tuple[np.ndarray, np.ndarray]:
+    """numpy mirror of ops/projection.project_points_to_cameras —
+    (uv (N, P, 2) network-input pixels, in_front (N, P))."""
+    xyz = xyz.astype(np.float32)
+    if lidar_aug is not None:
+        inv = np.linalg.inv(np.asarray(lidar_aug, np.float32))
+        xyz = xyz @ inv[:3, :3].T + inv[:3, 3]
+    hom = np.concatenate([xyz, np.ones_like(xyz[:, :1])], -1)
+    cam = np.einsum("nij,pj->npi", np.asarray(lidar2img, np.float32), hom)
+    depth = cam[..., 2]
+    front = depth > eps
+    uv = cam[..., :2] / np.maximum(depth[..., None], eps)
+    if img_aug is not None:
+        ia = np.asarray(img_aug, np.float32)
+        uvh = np.concatenate(
+            [uv, np.ones(uv.shape[:-1] + (2,), np.float32)], -1)
+        uv = np.einsum("nij,npj->npi", ia, uvh)[..., :2]
+    return uv, front
+
+
+def p2g_plan(points: np.ndarray, pillar: Dict[str, np.ndarray],
+             max_points: int, max_voxels: int, num_views: int,
+             img_hw: Tuple[int, int], lidar2img: np.ndarray,
+             img_aug: Optional[np.ndarray] = None,
+             lidar_aug: Optional[np.ndarray] = None,
+             sec_per_cam: Optional[int] = None,
+             cam_cap: Optional[int] = None,
+             margin: float = 4.0) -> Optional[Dict[str, np.ndarray]]:
+    """Per-camera partition of the pillar point slots for P2G sampling.
+
+    The brute P2G (`isfusion_encoder._img_to_bev`) bilinear-samples ALL
+    P = max_voxels*max_points pillar slots in EVERY camera and masks —
+    6x the necessary gather traffic, ~70 ms of the flagship step. Each
+    slot is visible in ~1 camera (~10% two-camera overlap), so the host
+    assigns every slot to its first potentially-valid camera: ``perm``
+    is a TOTAL permutation of the P slots into num_views equal blocks of
+    cap = P // num_views (primary assignments first, never-valid slots
+    as block filler), and the device samples each block only in its own
+    camera, undoing the permutation with ONE row gather (no scatter).
+    Additional (slot, cam) contributions beyond the primary go to
+    per-cam SECONDARY blocks of ``sec_per_cam`` (default cap // 4),
+    scatter-added on device. ``cam_cap`` (default P // num_views)
+    shrinks the sampled blocks: the permutation stays total over P, but
+    only the first num_views * cam_cap positions are sampled — the tail
+    holds never-valid slots (empty pillar padding is typically most of
+    P) and the device zero-pads instead of sampling it.
+
+    Exactness: the host validity test is a SUPERSET filter (margin
+    covers the train-time pixel jitter + bilinear support); the device
+    re-applies its exact per-(cam, slot) validity mask, so a too-wide
+    host margin only costs capacity, never correctness. Returns None
+    when capacities overflow or P is not divisible by num_views — the
+    device then falls back to the brute path (safety valve).
+
+    Emits: p2g_src (P,) int32 = cam * P + slot per permuted position;
+    p2g_iperm (P,) int32 (position of slot s); p2g_sec_src
+    (nv * sec_per_cam,) int32; p2g_sec_slot; p2g_sec_ok (bool)."""
+    t, vp = int(max_points), int(max_voxels)
+    p_tot = vp * t
+    nv = int(num_views)
+    if p_tot % nv:
+        return None
+    cap = p_tot // nv if cam_cap is None else int(cam_cap)
+    if nv * cap > p_tot:
+        return None
+    if sec_per_cam is None:
+        sec_per_cam = cap // 4
+
+    kept = pillar["pmask"]
+    slot_of_pt = pillar["vidx"] * t + pillar["rank"]  # valid where kept
+    xyz = np.zeros((p_tot, 3), np.float32)
+    xyz[slot_of_pt[kept]] = points[kept, :3]
+    slot_valid = np.zeros((p_tot,), bool)
+    slot_valid[slot_of_pt[kept]] = True
+
+    uv, front = _project_uv(xyz, lidar2img, lidar_aug, img_aug)
+    h, w = float(img_hw[0]), float(img_hw[1])
+    ok = front & (uv[..., 0] > -margin) & (uv[..., 0] < w + margin) & \
+        (uv[..., 1] > -margin) & (uv[..., 1] < h + margin) & \
+        slot_valid[None, :]                                   # (nv, P)
+
+    any_ok = ok.any(0)
+    primary = np.where(any_ok, ok.argmax(0), -1)              # (P,)
+    perm = np.empty((p_tot,), np.int32)
+    cam_of_pos = np.repeat(np.arange(nv, dtype=np.int32), cap)
+    sec_slots = [[] for _ in range(nv)]
+    filler = list(np.nonzero(~any_ok)[0][::-1])               # stack
+    pos = 0
+    for c in range(nv):
+        prim = np.nonzero(primary == c)[0]
+        if prim.shape[0] > cap:
+            # a camera owns more than P/nv slots: a filler placement of
+            # the excess could land valid in another block and double
+            # count — brute path instead
+            return None
+        n_fill = cap - prim.shape[0]
+        # with cam_cap = P // nv the filler pool covers block padding
+        # exactly (every slot is primary-of-one cam or never-valid);
+        # with a smaller cam_cap it can run short only if primaries are
+        # extremely unbalanced — brute path then
+        if n_fill > len(filler):
+            return None
+        fill = [filler.pop() for _ in range(n_fill)]
+        perm[pos:pos + cap] = np.concatenate(
+            [prim, np.asarray(fill, np.int64)]).astype(np.int32)
+        pos += cap
+    # tail: remaining never-valid slots, NOT sampled on device
+    tail = np.asarray(filler[::-1], np.int64)
+    perm[pos:] = tail.astype(np.int32)
+
+    # secondary contributions: valid cams beyond the primary
+    sec = ok.copy()
+    sec[primary[any_ok], np.nonzero(any_ok)[0]] = False
+    for c in range(nv):
+        sec_slots[c].extend(np.nonzero(sec[c])[0].tolist())
+        if len(sec_slots[c]) > sec_per_cam:
+            return None     # overlap heavier than budget -> brute path
+    s_src = np.zeros((nv * sec_per_cam,), np.int32)
+    s_slot = np.zeros((nv * sec_per_cam,), np.int32)
+    s_ok = np.zeros((nv * sec_per_cam,), bool)
+    for c in range(nv):
+        k = len(sec_slots[c])
+        sl = np.asarray(sec_slots[c], np.int32)
+        s_src[c * sec_per_cam:c * sec_per_cam + k] = c * p_tot + sl
+        s_slot[c * sec_per_cam:c * sec_per_cam + k] = sl
+        s_ok[c * sec_per_cam:c * sec_per_cam + k] = True
+
+    iperm = np.empty_like(perm)
+    iperm[perm] = np.arange(p_tot, dtype=np.int32)
+    # only the nv*cap sampled positions carry a source; tail positions
+    # (never-valid slots) are zero-padded on device
+    return dict(p2g_src=(cam_of_pos * p_tot +
+                         perm[:nv * cap]).astype(np.int32),
+                p2g_iperm=iperm,
+                p2g_sec_src=s_src, p2g_sec_slot=s_slot, p2g_sec_ok=s_ok)
+
+
 def build_encoder_plan(points: np.ndarray, point_mask: np.ndarray,
                        voxel_layer: Dict, encoder_cfg: Dict,
                        max_voxels: int,
@@ -434,12 +574,41 @@ def make_plan_fn(model_cfg: Dict, train: bool):
             max_voxels=_cap(mc.get("pillar_max_voxels", (30000, 60000)),
                             (30000, 60000)))
 
+    fe_cfg = dict(mc.get("fusion_encoder") or {})
+    nv = int(fe_cfg.get("num_views", 6))
+
     def fn(batch: Dict) -> Dict:
         if "points" not in batch or "points_mask" not in batch:
             return batch
-        batch["sparse_plan"] = build_encoder_plan_batch(
-            np.asarray(batch["points"]), np.asarray(batch["points_mask"]),
-            vl, enc, cap, pillar_cfg)
+        pts = np.asarray(batch["points"])
+        plan = build_encoder_plan_batch(
+            pts, np.asarray(batch["points_mask"]), vl, enc, cap,
+            pillar_cfg)
+        # per-camera P2G partition (needs the batch's calib + image
+        # shape); any per-sample capacity overflow drops the p2g keys
+        # for the WHOLE batch (stacked plans need uniform keys) and the
+        # device falls back to the brute all-cameras path
+        if pillar_cfg is not None and "lidar2img" in batch and \
+                "img" in batch:
+            img_hw = tuple(np.asarray(batch["img"]).shape[2:4])
+            l2i = np.asarray(batch["lidar2img"])
+            ia = batch.get("img_aug_matrix")
+            la = batch.get("lidar_aug_matrix")
+            p2gs = []
+            for b in range(pts.shape[0]):
+                pil = {k[4:]: plan[k][b] for k in plan
+                       if k.startswith("pil_")}
+                p2gs.append(p2g_plan(
+                    pts[b], pil, int(pillar_cfg["max_points"]),
+                    int(pillar_cfg["max_voxels"]), nv, img_hw, l2i[b],
+                    None if ia is None else np.asarray(ia)[b],
+                    None if la is None else np.asarray(la)[b],
+                    sec_per_cam=fe_cfg.get("p2g_sec_per_cam"),
+                    cam_cap=fe_cfg.get("p2g_cam_cap")))
+            if all(p is not None for p in p2gs):
+                for k in p2gs[0]:
+                    plan[k] = np.stack([p[k] for p in p2gs])
+        batch["sparse_plan"] = plan
         return batch
 
     return fn

@@ -23,6 +23,11 @@ def bilinear_sample(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray
     """Sample (H, W, C) at float pixel coords x, y (any shape) with zero
     padding outside. Returns coords.shape + (C,)."""
     h, w, c = img.shape
+    # gather from the FLATTENED (H*W, C) view: a (H, W, C) operand makes
+    # XLA lower a 2-axis gather that runs ~25x slower than a plain row
+    # gather (micro_sparse.py rule "always flatten to (V, Z*C) first");
+    # P2G image sampling measured 80 -> ~30 ms from this alone (r5)
+    flat = img.reshape(h * w, c)
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
     wx = x - x0
@@ -34,7 +39,7 @@ def bilinear_sample(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray
         inb = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
         xi_c = jnp.clip(xi, 0, w - 1)
         yi_c = jnp.clip(yi, 0, h - 1)
-        vals = img[yi_c, xi_c]  # gather
+        vals = flat[yi_c * w + xi_c]  # row gather
         return jnp.where(inb[..., None], vals, 0.0)
 
     v00 = tap(x0i, y0i)

@@ -46,7 +46,9 @@ def test_swin_shapes_and_padding():
 
 
 def test_swin_train_with_droppath():
-    model = tiny_swin()
+    # depth 1 per stage: the droppath/grad assertion is per-block, and
+    # the 2-deep variant costs 2x the XLA:CPU grad compile for nothing
+    model = tiny_swin(depths=(1, 1), num_heads=(3, 6))
     img = jnp.ones((1, 28, 28, 3))
     variables = model.init(jax.random.PRNGKey(0), img, train=False)
 

@@ -143,8 +143,11 @@ def test_planned_encoder_matches_unplanned(dense_from, z_windows):
     vl = dict(point_cloud_range=PCR, voxel_size=VS)
     enc_cfg = dict(
         sparse_shape=GRID, base_channels=8, output_channels=16,
-        encoder_channels=((8, 8, 12), (12, 12, 16), (16, 16)),
-        encoder_paddings=((1, 1, 1), (1, 1, 1), (1, 1)),
+        # one basicblock per stage: the plan/device walk coverage
+        # (conv_input, dilate, 2 strided transitions, dense cutover) is
+        # identical, at ~60% of the XLA:CPU compile
+        encoder_channels=((8, 12), (12, 16), (16, 16)),
+        encoder_paddings=((1, 1), (1, 1), (1, 1)),
         block_type="basicblock", stage_cap_ratios=(0.6, 0.8, 0.5),
         dilation_ratio=2.0, dense_from_stage=dense_from, z_pad_to=8,
         z_windows=z_windows)
@@ -167,6 +170,66 @@ def test_planned_encoder_matches_unplanned(dense_from, z_windows):
     np.testing.assert_allclose(np.asarray(out_ref), np.asarray(out_pl),
                                atol=1e-5)
     assert float(jnp.abs(out_ref).sum()) > 0
+
+
+def test_p2g_plan_matches_brute():
+    """The host per-camera P2G partition must reproduce the brute
+    all-cameras-masked sampling (float-add reorder tolerance), including
+    two-camera-overlap points (secondary scatter) and block filler."""
+    from isfusion_tpu.models.middle_encoders.isfusion_encoder import \
+        ISFusionEncoder
+    from isfusion_tpu.ops.voxel import voxelize_hard
+
+    rng = np.random.default_rng(3)
+    nv, t, vp = 2, 4, 64                       # P = 256, cap 128
+    pcr = [-4.0, -4.0, -1.0, 4.0, 4.0, 1.0]
+    n = 400
+    pts = rng.uniform(-4, 4, (n, 5)).astype(np.float32)
+    pts[:, 2] = rng.uniform(-1, 1, n)
+    pmask = np.ones((n,), bool)
+    # two pinhole cams looking +x / -x with overlapping FOVs
+    h, w = 24, 32
+
+    def cam(yaw):
+        K = np.array([[20.0, 0, w / 2, 0], [0, 20.0, h / 2, 0],
+                      [0, 0, 1, 0], [0, 0, 0, 1]], np.float32)
+        R = np.array([[0, -1, 0, 0], [0, 0, -1, 0],
+                      [1, 0, 0, 0], [0, 0, 0, 1]], np.float32)
+        cz, sz = np.cos(yaw), np.sin(yaw)
+        Rz = np.array([[cz, -sz, 0, 0], [sz, cz, 0, 0],
+                       [0, 0, 1, 0], [0, 0, 0, 1]], np.float32)
+        return K @ R @ Rz
+    # two cameras yawed 30 degrees apart: substantially overlapping FOVs
+    # so the secondary (multi-camera) path carries real work
+    l2i = np.stack([cam(0.0), cam(np.pi / 6)])
+
+    pil = jax.vmap(lambda p, m: voxelize_hard(
+        p, m, pcr, (1.0, 1.0, 2.0), t, vp))(
+        jnp.asarray(pts)[None], jnp.asarray(pmask)[None])
+    feat = rng.normal(size=(1, nv, h // 2, w // 2, 8)).astype(np.float32)
+
+    enc = ISFusionEncoder(num_points_in_pillar=t, embed_dims=8,
+                          num_classes=2, bev_size=8, num_views=nv,
+                          instance_num=4)
+    calib = dict(lidar2img=jnp.asarray(l2i)[None],
+                 img_input_shape=(h, w))
+
+    brute = enc._img_to_bev(jnp.asarray(feat), pil.voxels, pil.coors,
+                            pil.voxel_mask, pil.num_points, calib, False)
+
+    pil_plan = hp.pillar_plan(pts, pmask, pcr, (1.0, 1.0, 2.0), t, vp)
+    p2g = hp.p2g_plan(pts, pil_plan, t, vp, nv, (h, w), l2i,
+                      sec_per_cam=64)
+    assert p2g is not None
+    # the partition must include real overlap work on this fixture
+    assert np.asarray(p2g["p2g_sec_ok"]).sum() > 0
+    planned = enc._img_to_bev(
+        jnp.asarray(feat), pil.voxels, pil.coors, pil.voxel_mask,
+        pil.num_points, calib, False,
+        p2g={k: jnp.asarray(v)[None] for k, v in p2g.items()})
+    np.testing.assert_allclose(np.asarray(planned), np.asarray(brute),
+                               rtol=1e-5, atol=1e-5)
+    assert float(jnp.abs(brute).sum()) > 0
 
 
 def test_make_plan_fn_wiring():
