@@ -105,9 +105,22 @@ def main() -> None:
                   "(overlapped in the real pipeline)", file=sys.stderr)
         for i in range(warmup):
             sync(fwd(variables, variants[i % len(variants)]))
+        # Dispatch the whole timed window, then sync ONCE on the last
+        # output: the device executes queued programs in order, so the
+        # final fetch bounds all steps. Syncing per step would add a
+        # ~30-55 ms axon-tunnel device_get round trip to EVERY step — a
+        # harness artifact, not device time (a production host queues
+        # steps exactly like this; its sync costs ~us over PCIe).
+        # BENCH_SYNC_EVERY=1 restores the per-step fetch (the r2-r4
+        # harness) for apples-to-apples comparisons with old numbers.
+        sync_every = os.environ.get("BENCH_SYNC_EVERY", "0") == "1"
         t0 = time.perf_counter()
+        out = None
         for i in range(steps):
-            sync(fwd(variables, variants[i % len(variants)]))
+            out = fwd(variables, variants[i % len(variants)])
+            if sync_every:
+                sync(out)
+        sync(out)
         dt = time.perf_counter() - t0
     else:
         variables = jax.jit(

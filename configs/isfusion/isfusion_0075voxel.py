@@ -137,7 +137,13 @@ model = dict(
         # returns (slopes below -2.0 m) could ever drop. Strided window
         # transitions are checked EXACT at trace time
         # (sparse_encoder.check_window_coverage).
-        z_windows=((15, 25), (7, 14)),
+        # The two DENSE tables take windows too (r5): (3, 8) and (1, 4)
+        # are the EXACT strided images of the sparse windows above, so
+        # they can never drop a site the sparse tables kept (the trace-
+        # time coverage check enforces it) — they just stop the dense
+        # convs from sweeping z cells no active site can reach
+        # (11 -> 8 and 5 -> 4 stored depth).
+        z_windows=((15, 25), (7, 14), (3, 8), (1, 4)),
         # 'columns' is the only engine. A z-windowed alternative was
         # built and measured 1544-1766 ms vs 681/942 here across three
         # layout redesigns; deleted in round 4 (PERF.md "window engine").

@@ -191,7 +191,10 @@ class _SparseConvModule(nn.Module):
         pad = _pad3(self.padding)
         return jax.checkpoint(
             lambda f, ww: sparse_conv_dense(dg.replace(feats=f), ww,
-                                            stride, pad))(dg.feats, w)
+                                            stride, pad,
+                                            z_shift=self.z_shift,
+                                            out_zlen=self.out_zlen))(
+                                                dg.feats, w)
 
 
 class _SparseBasicBlock(nn.Module):
@@ -310,18 +313,24 @@ class SparseEncoder(nn.Module):
 
             Table t runs dense iff dense_from <= t + 1 (conversion fires
             at the loop-top `dense_from == i + 1` for conv_module and at
-            `dense_from <= i + 2` in the basicblock strided branch), so
-            windows apply only to tables with t + 1 < dense_from."""
+            `dense_from <= i + 2` in the basicblock strided branch).
+            Windows apply to BOTH engines: sparse tables store only the
+            window (build_column_grid); dense tables keep the window as
+            their stored depth extent (columns_to_dense keep_window +
+            sparse_conv_dense z_shift). A window on a table reached by a
+            strided conv from a windowed table is structurally drop-free
+            when it covers the strided image of the input window —
+            checked exact at trace time (check_window_coverage). Only
+            the final SPARSE table must stay un-windowed (conv_out's
+            column form has no shift plumbing; its dense form does)."""
             if self.z_windows is None or stage >= len(self.z_windows):
                 return None
             w = self.z_windows[stage]
             if w is None:
                 return None
-            assert stage + 1 < dense_from, \
-                "z_windows apply to sparse tables only (dense engine " \
-                "runs the full extent)"
-            assert stage < n_stages - 1, \
-                "the final sparse stage feeds conv_out un-windowed"
+            if dense_from > stage + 1:          # sparse table
+                assert stage < n_stages - 1, \
+                    "the final sparse stage feeds conv_out un-windowed"
             return int(w[0]), int(w[1])
 
         win = win_of(0)
@@ -347,7 +356,8 @@ class SparseEncoder(nn.Module):
         # dilation + y-rulebook are rebuilt only after a strided conv
         # changes the BEV footprint (spconv indice_key reuse semantics).
         if dense_from <= 0:
-            cg, rulebook = columns_to_dense(cg, z_log, cur_lo), None
+            cg, rulebook = columns_to_dense(cg, z_log, cur_lo,
+                                            keep_window=True), None
         else:
             cg, rulebook = _vmap_dilate(
                 cg, dil_cap_for(0),
@@ -372,27 +382,27 @@ class SparseEncoder(nn.Module):
         def z_transition(t_out: int, pz: int):
             """(z_shift, out_zlen, lo_out) for the strided conv into
             stage table ``t_out`` (None/0/0 = plain padded conv on an
-            un-windowed path). Exactness of window transitions is
-            checked statically (check_window_coverage)."""
-            if isinstance(cg, DenseGrid):
-                return None, 0, 0       # dense path ignores z windows
+            un-windowed path). Works for both engines (the dense strided
+            conv takes the same z_shift/out_zlen contract). Exactness of
+            window transitions is checked statically
+            (check_window_coverage)."""
+            dense_in = isinstance(cg, DenseGrid)
+            w_in = cg.feats.shape[1] if dense_in else cg.feats.shape[2]
             z_log_out = (z_log + 2 * pz - 3) // 2 + 1
-            # table t_out runs dense iff dense_from <= t_out + 1 (see
-            # win_of) — its strided-in conv must emit the FULL extent so
-            # columns_to_dense scatters at true z
-            wout = None if dense_from <= t_out + 1 else win_of(t_out)
+            wout = win_of(t_out)
             if wout is None:
                 if cur_lo == 0:
                     return None, 0, 0
-                # windowed input -> full output (window ends): store the
-                # full logical extent, rounded up for lane alignment
-                zp = -(-z_log_out // 4) * 4
-                check_window_coverage(z_log, cur_lo, cg.feats.shape[2],
+                # windowed input -> full output (window ends): dense
+                # emits the exact logical extent; columns round up for
+                # lane-aligned gather rows
+                zp = z_log_out if dense_in else -(-z_log_out // 4) * 4
+                check_window_coverage(z_log, cur_lo, w_in,
                                       pz, z_log_out, 0, zp,
                                       f"strided into stage {t_out}")
                 return -cur_lo - pz, zp, 0
             lo_out, wlen = wout
-            check_window_coverage(z_log, cur_lo, cg.feats.shape[2], pz,
+            check_window_coverage(z_log, cur_lo, w_in, pz,
                                   z_log_out, lo_out, wlen,
                                   f"strided into stage {t_out}")
             return 2 * lo_out - cur_lo - pz, wlen, lo_out
@@ -401,8 +411,8 @@ class SparseEncoder(nn.Module):
             blocks = tuple(blocks)
             pads = tuple(self.encoder_paddings[i])
             if dense_from == i + 1 and not isinstance(cg, DenseGrid):
-                cg, rulebook = columns_to_dense(cg, z_log, cur_lo), None
-                cur_lo = 0
+                cg, rulebook = columns_to_dense(cg, z_log, cur_lo,
+                                                keep_window=True), None
             for j, out_ch in enumerate(blocks):
                 pad = _pad3(pads[j])
                 name = f"encoder_layer{i + 1}_{j}"
@@ -437,10 +447,12 @@ class SparseEncoder(nn.Module):
                             pass
                         elif dense_from <= i + 2:
                             # next stage is dense: convert now, skip the
-                            # dilation rebuild entirely (z_transition
-                            # un-windowed the strided output: cur_lo 0)
-                            assert cur_lo == 0
-                            cg, rulebook = columns_to_dense(cg, z_log), None
+                            # dilation rebuild entirely. The strided conv
+                            # already emitted the dense table's z window
+                            # (z_transition), which the dense grid keeps
+                            # as its stored depth extent.
+                            cg, rulebook = columns_to_dense(
+                                cg, z_log, cur_lo, keep_window=True), None
                         else:
                             cg, rulebook = _vmap_dilate(
                                 cg, dil_cap_for(i + 1),
@@ -468,10 +480,19 @@ class SparseEncoder(nn.Module):
                 cg.feats.shape[2] != z_log:  # drop masked z-pad cells so the
             cg = cg.replace(feats=cg.feats[:, :, :z_log],   # dense BEV has
                             zmask=cg.zmask[:, :, :z_log])   # exact channels
+        # conv_out always emits the FULL output extent (the dense BEV's
+        # channel count is the reference's C_out * nz_out); a z-windowed
+        # final dense table feeds it through the shifted-conv plumbing
+        co_zs, co_ozl = None, 0
+        if isinstance(cg, DenseGrid) and \
+                (cur_lo != 0 or cg.feats.shape[1] < z_log):
+            co_ozl = (z_log - 3) // 2 + 1
+            co_zs = -cur_lo                 # sz*0 - lo_in - pz(=0)
         out = _SparseConvModule(
             self.output_channels, kernel_size=(3, 1, 1), stride=(2, 1, 1),
             padding=(0, 0, 0), conv_type="SparseConv3d",
             norm_cfg=norm_cfg, axis_name=self.axis_name,
+            z_shift=co_zs, out_zlen=co_ozl,
             name="conv_out")(cg, train=train)
 
         # (B, ny, nx, Z*C) with out[..., z*C:(z+1)*C] = feats[:, z] —

@@ -52,8 +52,8 @@ class DenseGrid:
     zmask: jnp.ndarray   # (B, D, H, W) bool
 
 
-def columns_to_dense(cg: ColumnGrid, z_logical: int,
-                     z_lo: int = 0) -> DenseGrid:
+def columns_to_dense(cg: ColumnGrid, z_logical: int, z_lo: int = 0,
+                     keep_window: bool = False) -> DenseGrid:
     """Batched ColumnGrid (leading vmap axis) -> DenseGrid.
 
     Slices the column engine's lane-alignment z padding back to the
@@ -62,7 +62,10 @@ def columns_to_dense(cg: ColumnGrid, z_logical: int,
     depth-major conv layout. ``z_lo`` re-bases a z-WINDOWED grid
     (sparse_cols.build_column_grid z window): stored cell w scatters to
     true z = z_lo + w; cells outside the window are zero by the window
-    contract."""
+    contract. With ``keep_window`` the dense grid KEEPS the window as its
+    stored z extent (stored cell w = true z ``z_lo + w``) instead of
+    padding back to the logical extent — the dense-stage z window
+    (`SparseEncoder.z_windows` on dense tables)."""
     ny, nx = cg.bev
     z_logical = int(z_logical)
     z_lo = int(z_lo)
@@ -84,11 +87,26 @@ def columns_to_dense(cg: ColumnGrid, z_logical: int,
                 mflat[:-1].reshape(ny, nx, zl).transpose(2, 0, 1))
 
     feats, zmask = jax.vmap(one)(cg.feats, cg.zmask, cg.ids, cg.cmask)
-    if z_lo or zl < z_logical:
+    if not keep_window and (z_lo or zl < z_logical):
         pad = ((0, 0), (z_lo, z_logical - z_lo - zl), (0, 0), (0, 0))
         feats = jnp.pad(feats, pad + ((0, 0),))
         zmask = jnp.pad(zmask, pad)
     return DenseGrid(feats, zmask)
+
+
+def _zwin3d(x: jnp.ndarray, t: int, need: int) -> jnp.ndarray:
+    """Slice/pad the depth axis of (B, D, H, W, ...) to the ``need`` cells
+    starting at stored index ``t`` (zero outside) — the 3D counterpart of
+    `sparse_cols._zconv_shift`'s input windowing."""
+    lpad = max(0, -t)
+    start = max(0, t)
+    take = max(0, min(x.shape[1] - start, need - lpad))
+    xw = x[:, start:start + take]
+    rpad = need - lpad - take
+    if lpad or rpad:
+        pad = [(0, 0), (lpad, rpad)] + [(0, 0)] * (x.ndim - 2)
+        xw = jnp.pad(xw, pad)
+    return xw
 
 
 def _conv(x: jnp.ndarray, w: jnp.ndarray, stride: Tuple[int, int, int],
@@ -115,27 +133,50 @@ def subm_conv_dense(dg: DenseGrid, weight: jnp.ndarray) -> DenseGrid:
 
 
 def sparse_conv_dense(dg: DenseGrid, weight: jnp.ndarray, stride,
-                      padding) -> DenseGrid:
+                      padding, z_shift=None, out_zlen: int = 0
+                      ) -> DenseGrid:
     """Strided sparse conv: output site active iff any input site lies in
-    its receptive field (spconv SparseConv3d)."""
+    its receptive field (spconv SparseConv3d).
+
+    ``(z_shift, out_zlen)`` run the depth dimension between two z WINDOWS
+    (same contract as `sparse_cols.sparse_conv_col_dil`):
+    out[:, o] sums w[dz] * in[:, sz*o + dz + z_shift] with zeros outside
+    the stored extent; z_shift = sz*z_lo_out - z_lo_in - pz. Defaults
+    reproduce the plain padded conv."""
     kz, ky, kx, _, _ = weight.shape
     s = (stride,) * 3 if isinstance(stride, int) else tuple(stride)
     p = (padding,) * 3 if isinstance(padding, int) else tuple(padding)
     sz, sy, sx = (int(v) for v in s)
     pz, py, px = (int(v) for v in p)
-    out = _conv(dg.feats, weight, (sz, sy, sx), (pz, py, px))
+    if z_shift is None:
+        z_shift = -pz
+    if not out_zlen:
+        out_zlen = (dg.feats.shape[1] + 2 * pz - kz) // sz + 1
+    need = sz * (int(out_zlen) - 1) + kz
+    feats = _zwin3d(dg.feats, int(z_shift), need)
+    zin = _zwin3d(dg.zmask, int(z_shift), need)
+    out = _conv(feats, weight, (sz, sy, sx), (0, py, px))
     zmask = jax.lax.reduce_window(
-        dg.zmask, False, jax.lax.bitwise_or,
+        zin, False, jax.lax.bitwise_or,
         window_dimensions=(1, kz, ky, kx),
         window_strides=(1, sz, sy, sx),
-        padding=((0, 0), (pz, pz), (py, py), (px, px)))
+        padding=((0, 0), (0, 0), (py, py), (px, px)))
     out = jnp.where(zmask[..., None], out, 0.0).astype(dg.feats.dtype)
     return DenseGrid(out, zmask)
 
 
-def dense_to_bev(dg: DenseGrid) -> jnp.ndarray:
+def dense_to_bev(dg: DenseGrid, z_lo: int = 0,
+                 z_logical: int = 0) -> jnp.ndarray:
     """(B, D, H, W, C) -> (B, H, W, D*C) with out[..., z*C:(z+1)*C] =
     feats[:, z] — identical channel order to `column_to_dense` (one
-    transpose pass)."""
+    transpose pass). A z-WINDOWED grid (stored cell w = true z
+    ``z_lo + w``) is padded back to the ``z_logical`` extent first so the
+    BEV channel layout matches the un-windowed reference arithmetic."""
     b, d, h, w, c = dg.feats.shape
-    return dg.feats.transpose(0, 2, 3, 1, 4).reshape(b, h, w, d * c)
+    feats = dg.feats
+    if z_lo or (z_logical and z_logical != d):
+        assert z_logical >= z_lo + d
+        feats = jnp.pad(feats, ((0, 0), (z_lo, z_logical - z_lo - d),
+                                (0, 0), (0, 0), (0, 0)))
+        d = z_logical
+    return feats.transpose(0, 2, 3, 1, 4).reshape(b, h, w, d * c)

@@ -50,6 +50,13 @@ VARIANTS = {
     "zwin_align": dict(engine="columns", dilation_ratio=2.0,
                        dense_from_stage=3,
                        z_windows=((8, 32), (4, 20))),
+    # r5: the two DENSE tables windowed too — (3, 8)/(1, 4) are the
+    # exact strided images of the sparse windows (drop-free by the
+    # trace-time coverage check); isolates the dense-window gain over
+    # zwin_tight.
+    "zwin_dense": dict(engine="columns", dilation_ratio=2.0,
+                       dense_from_stage=3,
+                       z_windows=((15, 25), (7, 14), (3, 8), (1, 4))),
 }
 
 

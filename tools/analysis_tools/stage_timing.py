@@ -4,6 +4,8 @@ Mirrors ISFusionDetector.__call__ stage by stage, each stage jitted
 separately with its inputs device-resident and a scalar fetched through
 jax.device_get (the only sync that works through the axon tunnel).
 Run: python tools/analysis_tools/stage_timing.py
+PLAN=1 profiles the shipped host-planned path (ops/host_plan.make_plan_fn,
+the same enricher the DataLoader installs) — the bench configuration.
 """
 from __future__ import annotations
 
@@ -18,7 +20,9 @@ import jax
 import jax.numpy as jnp
 
 from isfusion_tpu.flagship import build_isfusion_flagship
-from isfusion_tpu.ops.voxel import voxelize_dynamic, voxelize_hard
+from isfusion_tpu.ops.voxel import (voxelize_dynamic,
+                                    voxelize_dynamic_planned,
+                                    voxelize_hard, voxelize_hard_planned)
 from isfusion_tpu.models.detectors.voxelnet import _capacity
 
 
@@ -37,7 +41,20 @@ def timeit(fn, *args, n=4):
 
 def main():
     model, batch_fn = build_isfusion_flagship()
-    batch = jax.device_put(batch_fn(int(os.environ.get("B", "1"))))
+    batch = batch_fn(int(os.environ.get("B", "1")))
+    plan = None
+    if os.environ.get("PLAN", "0") == "1":
+        import numpy as np
+        from isfusion_tpu.config import Config
+        from isfusion_tpu.flagship import ISFUSION_CFG
+        from isfusion_tpu.ops.host_plan import make_plan_fn
+        cfg = Config.fromfile(ISFUSION_CFG)
+        plan_fn = make_plan_fn(dict(cfg.model), train=False)
+        batch = plan_fn({k: np.asarray(v) for k, v in batch.items()})
+        plan = batch["sparse_plan"]
+    batch = jax.device_put(batch)
+    if plan is not None:
+        plan = batch["sparse_plan"]
     variables = jax.jit(
         lambda b: model.init(jax.random.PRNGKey(0), b, train=False,
                              mode="feats"))(batch)
@@ -53,6 +70,12 @@ def main():
     cap = _capacity(vl.get("max_voxels", 120000), False)
 
     def stage_voxelize(b):
+        if plan is not None:
+            pl = {k: b["sparse_plan"][k] for k in
+                  ("vidx", "pmask", "vox_coors", "vmask", "num_voxels")}
+            return jax.vmap(lambda p, mm, q: voxelize_dynamic_planned(
+                p, mm, vl["point_cloud_range"], vl["voxel_size"], q))(
+                    b["points"], b["points_mask"], pl)
         return jax.vmap(lambda p, mm: voxelize_dynamic(
             p, mm, vl["point_cloud_range"], vl["voxel_size"], cap))(
                 b["points"], b["points_mask"])
@@ -67,10 +90,18 @@ def main():
     print(f"DynamicVFE:                   {t*1e3:8.1f} ms")
     feats = jax.device_put(feats)
 
-    t, lidar_bev = timeit(lambda f, d: model.apply(
-        variables, f, d.voxel_coors, d.voxel_mask,
-        method=lambda mdl, ff, c, mm: mdl.pts_middle_encoder_m(ff, c, mm)),
-        feats, dv)
+    if plan is not None:
+        t, lidar_bev = timeit(lambda f, d, b: model.apply(
+            variables, f, d.voxel_coors, d.voxel_mask,
+            method=lambda mdl, ff, c, mm: mdl.pts_middle_encoder_m(
+                ff, c, mm, plan=b["sparse_plan"])),
+            feats, dv, batch)
+    else:
+        t, lidar_bev = timeit(lambda f, d: model.apply(
+            variables, f, d.voxel_coors, d.voxel_mask,
+            method=lambda mdl, ff, c, mm: mdl.pts_middle_encoder_m(
+                ff, c, mm)),
+            feats, dv)
     print(f"SparseEncoder:                {t*1e3:8.1f} ms")
     lidar_bev = jax.device_put(lidar_bev)
 
@@ -79,6 +110,11 @@ def main():
     pillar_cap = _capacity(m.pillar_max_voxels, False)
 
     def stage_pillar(b):
+        if plan is not None and "pil_vidx" in b["sparse_plan"]:
+            sp = b["sparse_plan"]
+            pl = {k[4:]: sp[k] for k in sp if k.startswith("pil_")}
+            return jax.vmap(lambda p, q: voxelize_hard_planned(
+                p, q, n_pp, pillar_cap))(b["points"], pl)
         return jax.vmap(lambda p, mm: voxelize_hard(
             p, mm, m.pc_range, (m.voxel_size[0] * m.out_size_factor,
                                 m.voxel_size[1] * m.out_size_factor,
@@ -92,12 +128,16 @@ def main():
         calib = model.apply(variables, b,
                             method=lambda mdl, bb:
                             mdl.calib_from_batch(bb))
+        p2g = None
+        if plan is not None and "p2g_src" in b["sparse_plan"]:
+            sp = b["sparse_plan"]
+            p2g = {k: sp[k] for k in sp if k.startswith("p2g_")}
         return model.apply(
             variables, imf, lb, p.voxels, p.coors, p.voxel_mask,
             p.num_points, calib,
             method=lambda mdl, a1, a2, a3, a4, a5, a6, a7:
             mdl.fusion_encoder_m(a1, a2, a3, a4, a5, a6, a7,
-                                 mdl.pts_backbone_m))
+                                 mdl.pts_backbone_m, p2g=p2g))
     t, (feats_list, ins_hm) = timeit(stage_fusion, img_feats, lidar_bev,
                                      pil, batch)
     print(f"ISFusionEncoder(+SECONDV2):   {t*1e3:8.1f} ms")
