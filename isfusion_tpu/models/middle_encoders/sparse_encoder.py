@@ -279,7 +279,12 @@ class SparseEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, voxel_features: jnp.ndarray, coors: jnp.ndarray,
-                 voxel_mask: jnp.ndarray, train: bool = False, plan=None):
+                 voxel_mask: jnp.ndarray, train: bool = False, plan=None,
+                 return_after: Optional[str] = None):
+        """``return_after`` (profiling only) returns the intermediate
+        grid after the named step — 'build', 'dil0', 'conv_input',
+        'L{stage}_{block}' — so a jitted prefix XLA-DCEs everything past
+        it (tools/analysis_tools/encoder_profile.py)."""
         # 'columns' is the only engine (the z-window engine was deleted
         # in round 4); stale configs must fail loudly, not silently run
         # a different engine (ADVICE r4)
@@ -346,6 +351,8 @@ class SparseEncoder(nn.Module):
                 z_lo=win[0] if win else 0,
                 z_width=win[1] if win else 0))(voxel_features, coors,
                                                voxel_mask)
+        if return_after == "build":
+            return cg
         # logical z extent (the unpadded reference arithmetic): pad cells
         # ride along masked-off until the slice before conv_out, so the
         # dense BEV keeps the reference's exact C_out * nz_out channels
@@ -368,6 +375,8 @@ class SparseEncoder(nn.Module):
         # and recomputes inside the block during backward. Skipped on the
         # CPU backend (virtual-device mesh dryruns): host RAM is not the
         # constraint there and lifted remat balloons XLA:CPU compile time.
+        if return_after == "dil0":
+            return cg
         block_cls = nn.remat(_SparseBasicBlock, static_argnums=(2,)) \
             if train and jax.default_backend() != "cpu" \
             else _SparseBasicBlock
@@ -376,6 +385,8 @@ class SparseEncoder(nn.Module):
                                name="conv_input")(cg, train=train,
                                                   rulebook=rulebook)
 
+        if return_after == "conv_input":
+            return cg
         encode_features = [cg]
         in_ch = self.base_channels
 
@@ -474,6 +485,8 @@ class SparseEncoder(nn.Module):
                         axis_name=self.axis_name, name=name)(
                             cg, train=train, rulebook=rulebook)
                 in_ch = out_ch
+                if return_after == f"L{i + 1}_{j}":
+                    return cg
             encode_features.append(cg)
 
         if isinstance(cg, ColumnGrid) and \

@@ -126,7 +126,9 @@ def test_column_and_dilate_plan_match_device():
 
 
 @pytest.mark.parametrize("dense_from,z_windows", [
-    (99, None),
+    # all-sparse/un-windowed is the slowest XLA:CPU compile (~30 s) and
+    # its plan slices are a superset of (2, None)'s — slow tier
+    pytest.param(99, None, marks=pytest.mark.slow),
     (2, None),
     # GRID z=11 with active z cells spanning [0, 10]: window (2, 8)
     # DROPS cells {0, 1, 10} — planned and unplanned must agree
