@@ -118,6 +118,14 @@ model = dict(
         # cap above (the reference drops nothing).
         dilation_ratio=2.0,
         dilation_ratios=(2.0, 1.55, 1.4, 1.4),
+        # REFINED subm tables (exact): the subm convs consume x-dilated-
+        # only columns only via the y-combine of active outputs, so they
+        # run on active + {dilated-only with an active y+-1 neighbor} —
+        # measured 168,333 / 131,440 columns at stages 0/1 (68% / 80% of
+        # the full dilation, micro_dilation_refine.py); caps give 6-9%
+        # margin. The strided conv reads the full dilation via one
+        # expand_columns gather per stage.
+        subm_dilation_ratios=(1.40, 1.25),
         # stages >= 3 run as masked dense XLA 3D convs: at C>=128 the
         # native conv hits 112-162 TF/s (micro_conv_forms.py) and dense3
         # measured 914 ms vs 942 all-columns — exact spconv semantics,

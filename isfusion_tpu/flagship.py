@@ -124,8 +124,12 @@ def build_isfusion_flagship(tiny: bool = False,
             compute_dtype=tcd or "float32",
             # the full config's z windows are tuned to the 41-cell bench
             # z grid; the tiny fixture has its own z distribution — run
-            # the full extent (windows are a perf knob, not semantics)
-            z_windows=None)
+            # the full extent (windows are a perf knob, not semantics).
+            # Likewise the refined subm tables: exact-equal by
+            # construction (test_host_plan/test_sparse_cols), but the
+            # extra table/expand graphs cost ~170 s of the dryrun's
+            # 600 s XLA:CPU compile window — off at tiny scale.
+            z_windows=None, subm_dilation_ratios=None)
         model_cfg["fusion_encoder"] = dict(
             model_cfg["fusion_encoder"], embed_dims=32, bev_size=bev,
             grid_size=[[bev, bev, 1], [bev // 2, bev // 2, 1]],

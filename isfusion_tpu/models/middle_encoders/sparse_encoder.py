@@ -25,6 +25,8 @@ from ...registry import MIDDLE_ENCODERS
 from ...ops.sparse_cols import (ColumnGrid, build_column_grid,
                                 build_column_grid_planned, column_to_dense,
                                 dilate_columns, dilate_columns_planned,
+                                dilate_columns_subm,
+                                dilate_columns_subm_planned, expand_columns,
                                 sparse_conv_col, sparse_conv_col_dil,
                                 subm_conv_col_dil, zconv_col)
 from ...ops.sparse_dense import (DenseGrid, columns_to_dense, dense_to_bev,
@@ -48,6 +50,9 @@ def _vmap_dilate(cg: ColumnGrid, dil_cap: int, plan=None):
 
 
 _DIL_KEYS = ("dil_ids", "dil_cmask", "embed_slot", "y_slots", "y_found")
+_SUBDIL_KEYS = ("dil_ids", "dil_cmask", "sub_ids", "sub_cmask",
+                "sub_embed", "sub_y_slots", "sub_y_found",
+                "exp_slot", "exp_found")
 _STR_KEYS = ("out_ids", "out_cmask", "tap_j", "tap_found")
 
 
@@ -248,6 +253,16 @@ class SparseEncoder(nn.Module):
     # nuScenes-scale clouds — ops/host_plan walk, round 5), and every
     # subm conv's cost is proportional to the dilated-table size
     dilation_ratios: Optional[Sequence[float]] = None
+    # per-stage REFINED-dilation caps (x the column caps) for the subm
+    # convs: the u-factorized subm conv consumes x-dilated-only columns
+    # only through the y-combine of ACTIVE outputs, so its table needs
+    # just active + {dilated-only with an active y+-1 neighbor} — 68% /
+    # 80% of the full x-dilation at stages 0/1 at bench density
+    # (micro_dilation_refine.py census: 168,333 / 131,440 columns).
+    # The strided conv still reads the FULL dilation (every dilated-only
+    # column has a strided consumer there), via one expand_columns
+    # gather per stage. None = subm convs run on the full dilation.
+    subm_dilation_ratios: Optional[Sequence[float]] = None
     # Per-stage static z WINDOWS ((z_lo, width) or None = full extent),
     # indexed by stage table (0 = conv_input + stage-1 blocks). LiDAR
     # scenes occupy a narrow global z band (ground .. max return height;
@@ -310,6 +325,31 @@ class SparseEncoder(nn.Module):
                 r = self.dilation_ratios[stage]
             return max(int(cap_for(stage) * float(r)) // 8 * 8, 8)
 
+        def subm_cap_for(stage: int) -> Optional[int]:
+            sr = self.subm_dilation_ratios
+            if sr is None or stage >= len(sr) or sr[stage] is None:
+                return None
+            return max(int(cap_for(stage) * float(sr[stage])) // 8 * 8, 8)
+
+        def dilate_stage(g, stage: int):
+            """(subm grid, y-rulebook, expand-or-None) for a stage table.
+
+            With a refined subm cap (subm_dilation_ratios) the stage's
+            subm convs run on the smaller consumption-exact table and
+            the returned expand dict re-embeds it into the full
+            x-dilation right before the strided conv (expand_columns)."""
+            s_cap = subm_cap_for(stage)
+            if s_cap is None:
+                g, rb = _vmap_dilate(
+                    g, dil_cap_for(stage),
+                    _plan_slice(plan, f"s{stage}", _DIL_KEYS))
+                return g, rb, None
+            pl = _plan_slice(plan, f"s{stage}", _SUBDIL_KEYS)
+            if pl is not None:
+                return jax.vmap(dilate_columns_subm_planned)(g, pl)
+            return jax.vmap(lambda gg: dilate_columns_subm(
+                gg, dil_cap_for(stage), s_cap))(g)
+
         n_stages = len(self.encoder_channels)
         dense_from = int(self.dense_from_stage)
 
@@ -363,12 +403,10 @@ class SparseEncoder(nn.Module):
         # dilation + y-rulebook are rebuilt only after a strided conv
         # changes the BEV footprint (spconv indice_key reuse semantics).
         if dense_from <= 0:
-            cg, rulebook = columns_to_dense(cg, z_log, cur_lo,
-                                            keep_window=True), None
+            cg, rulebook, exp = columns_to_dense(
+                cg, z_log, cur_lo, keep_window=True), None, None
         else:
-            cg, rulebook = _vmap_dilate(
-                cg, dil_cap_for(0),
-                _plan_slice(plan, "s0", _DIL_KEYS))
+            cg, rulebook, exp = dilate_stage(cg, 0)
         # block-level remat: each residual block's z-dense activations are
         # ~365 MB at stage-0 scale; saving every conv output OOMs the
         # 16 GB chip for the train step. nn.remat keeps only block inputs
@@ -428,6 +466,8 @@ class SparseEncoder(nn.Module):
                 pad = _pad3(pads[j])
                 name = f"encoder_layer{i + 1}_{j}"
                 if i != 0 and j == 0 and self.block_type == "conv_module":
+                    if exp is not None:
+                        cg, exp = jax.vmap(expand_columns)(cg, exp), None
                     zs, ozl, cur_lo = z_transition(i, pad[0])
                     cg = _SparseConvModule(
                         out_ch, stride=(2, 2, 2), padding=pad,
@@ -438,12 +478,13 @@ class SparseEncoder(nn.Module):
                             plan, f"str{i}", _STR_KEYS))
                     z_log = (z_log + 2 * pad[0] - 3) // 2 + 1
                     if not isinstance(cg, DenseGrid):
-                        cg, rulebook = _vmap_dilate(
-                            cg, dil_cap_for(i),
-                            _plan_slice(plan, f"s{i}", _DIL_KEYS))
+                        cg, rulebook, exp = dilate_stage(cg, i)
                 elif self.block_type == "basicblock":
                     if j == len(blocks) - 1 and \
                             i != len(self.encoder_channels) - 1:
+                        if exp is not None:
+                            cg, exp = jax.vmap(expand_columns)(cg, exp), \
+                                None
                         zs, ozl, cur_lo = z_transition(i + 1, pad[0])
                         cg = _SparseConvModule(
                             out_ch, stride=(2, 2, 2), padding=pad,
@@ -465,9 +506,7 @@ class SparseEncoder(nn.Module):
                             cg, rulebook = columns_to_dense(
                                 cg, z_log, cur_lo, keep_window=True), None
                         else:
-                            cg, rulebook = _vmap_dilate(
-                                cg, dil_cap_for(i + 1),
-                                _plan_slice(plan, f"s{i + 1}", _DIL_KEYS))
+                            cg, rulebook, exp = dilate_stage(cg, i + 1)
                     else:
                         if in_ch != out_ch:
                             cg = _SparseConvModule(

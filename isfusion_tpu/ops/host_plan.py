@@ -171,10 +171,29 @@ def column_plan(vox_coors: np.ndarray, vmask: np.ndarray,
     return dict(col_ids=col_ids, cmask=cmask, vox_slot=flat)
 
 
+def _y_rulebook(table_ids: np.ndarray, table_cmask: np.ndarray, ny: int,
+                nx: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Mirror of sparse_cols.subm_y_rulebook on any sorted id table."""
+    ty = table_ids // nx
+    qs = np.stack([
+        np.where(table_cmask & (ty > 0), table_ids - nx, -1),
+        np.where(table_cmask & (ty + 1 < ny), table_ids + nx, -1),
+    ]).astype(np.int32)
+    j = _searchsorted_clamped(table_ids, qs.reshape(-1),
+                              table_ids.shape[0]).reshape(qs.shape)
+    return j, (qs >= 0) & (table_ids[j] == qs)
+
+
 def dilate_plan(col_ids: np.ndarray, cmask: np.ndarray, ny: int, nx: int,
-                dil_cap: int) -> Dict[str, np.ndarray]:
+                dil_cap: int,
+                subm_cap: Optional[int] = None) -> Dict[str, np.ndarray]:
     """Mirror of sparse_cols.dilate_columns (+subm_y_rulebook): dilated
-    table, embed slots, y+-1 rulebook."""
+    table, embed slots, y+-1 rulebook. With ``subm_cap`` also mirrors
+    dilate_columns_subm: the REFINED table the stage's subm convs run on
+    (active columns + the x-dilated-only columns with an active y+-1
+    neighbor — the exact consumption set of the u-factorization) plus
+    the refined->full expand lookup the pre-strided `expand_columns`
+    uses."""
     x = col_ids % nx
     y = col_ids // nx
     cand = np.concatenate([
@@ -191,17 +210,47 @@ def dilate_plan(col_ids: np.ndarray, cmask: np.ndarray, ny: int, nx: int,
     # on the dilated table (the conv's input), so they spawn no strided
     # outputs either — the walk must thread `kept` into strided_plan
     # y rulebook on the DILATED table
-    dy_ = dil_ids // nx
-    qs = np.stack([
-        np.where(dil_cmask & (dy_ > 0), dil_ids - nx, -1),
-        np.where(dil_cmask & (dy_ + 1 < ny), dil_ids + nx, -1),
+    j, y_found = _y_rulebook(dil_ids, dil_cmask, ny, nx)
+    out = dict(dil_ids=dil_ids, dil_cmask=dil_cmask,
+               embed_slot=embed_slot, y_slots=j, y_found=y_found,
+               kept=ok)
+    if subm_cap is None:
+        return out
+
+    def act_at(q, okq):
+        jq = _searchsorted_clamped(col_ids, q, col_ids.shape[0])
+        return okq & (col_ids[jq] == q)
+
+    def consumed(w, okw):
+        wy = w // nx
+        return act_at(w - nx, okw & (wy > 0)) | \
+            act_at(w + nx, okw & (wy + 1 < ny))
+
+    ok_m = cmask & (x > 0)
+    ok_p = cmask & (x + 1 < nx)
+    cand_sub = np.concatenate([
+        np.where(ok_m & consumed(col_ids - 1, ok_m), col_ids - 1, INT_MAX),
+        np.where(cmask, col_ids, INT_MAX),
+        np.where(ok_p & consumed(col_ids + 1, ok_p), col_ids + 1, INT_MAX),
     ]).astype(np.int32)
-    j = _searchsorted_clamped(dil_ids, qs.reshape(-1),
-                              dil_ids.shape[0]).reshape(qs.shape)
-    y_found = (qs >= 0) & (dil_ids[j] == qs)
-    return dict(dil_ids=dil_ids, dil_cmask=dil_cmask,
-                embed_slot=embed_slot, y_slots=j, y_found=y_found,
-                kept=ok)
+    sub_ids, sub_cmask = _unique_capped(cand_sub, subm_cap)
+    s_embed = _searchsorted_clamped(
+        sub_ids, np.where(cmask, col_ids, INT_MAX), subm_cap)
+    ok_sub = cmask & (sub_ids[s_embed] == col_ids)
+    sj, s_found = _y_rulebook(sub_ids, sub_cmask, ny, nx)
+    exp_j = _searchsorted_clamped(
+        sub_ids, np.where(dil_cmask, dil_ids, INT_MAX), subm_cap)
+    exp_found = dil_cmask & (sub_ids[exp_j] == dil_ids)
+    # a column's features survive to the strided conv iff kept in BOTH
+    # tables (refined holds them through the subm blocks; the expand
+    # embeds them into the full table the strided conv reads)
+    out.update(sub_ids=sub_ids, sub_cmask=sub_cmask,
+               sub_embed=np.where(ok_sub, s_embed,
+                                  subm_cap).astype(np.int32),
+               sub_y_slots=sj, sub_y_found=s_found,
+               exp_slot=exp_j, exp_found=exp_found,
+               kept=ok & ok_sub)
+    return out
 
 
 def strided_plan(active_ids: np.ndarray, active_cmask: np.ndarray,
@@ -437,6 +486,15 @@ def build_encoder_plan(points: np.ndarray, point_mask: np.ndarray,
             r = dil_ratios[stage]
         return max(int(cap_for(stage) * float(r)) // 8 * 8, 8)
 
+    sub_ratios = encoder_cfg.get("subm_dilation_ratios")
+
+    def subm_cap_for(stage):
+        if sub_ratios is None or stage >= len(sub_ratios) or \
+                sub_ratios[stage] is None:
+            return None
+        return max(int(cap_for(stage) * float(sub_ratios[stage])) // 8 * 8,
+                   8)
+
     plan = dict(vp)
     if pillar_cfg is not None:
         # the device pillarizer bins with the MODEL-level pc_range
@@ -464,7 +522,8 @@ def build_encoder_plan(points: np.ndarray, point_mask: np.ndarray,
 
     if dense_from <= 0:
         return plan
-    dp = dilate_plan(ids, cmask, cur_ny, cur_nx, dil_cap_for(0))
+    dp = dilate_plan(ids, cmask, cur_ny, cur_nx, dil_cap_for(0),
+                     subm_cap=subm_cap_for(0))
     for k, v in dp.items():
         plan[f"s0_{k}"] = v
 
@@ -518,7 +577,8 @@ def build_encoder_plan(points: np.ndarray, point_mask: np.ndarray,
                 dp = None
             else:
                 dp = dilate_plan(ids, cmask, cur_ny, cur_nx,
-                                 dil_cap_for(out_stage))
+                                 dil_cap_for(out_stage),
+                                 subm_cap=subm_cap_for(out_stage))
                 for k, v in dp.items():
                     plan[f"s{out_stage}_{k}"] = v
         if dp is None:

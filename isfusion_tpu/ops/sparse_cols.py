@@ -161,6 +161,123 @@ def dilate_columns_planned(cg: ColumnGrid, plan: dict
     return out, (plan["y_slots"], plan["y_found"])
 
 
+def dilate_columns_subm(cg: ColumnGrid, dil_cap: int, subm_cap: int
+                        ) -> Tuple[ColumnGrid,
+                                   Tuple[jnp.ndarray, jnp.ndarray], dict]:
+    """REFINED x-dilation for submanifold convs + expand structure.
+
+    `subm_conv_col_dil`'s u-partial at a dilated-only column w (inactive,
+    zero feats) is consumed ONLY by the y-combine of an output at
+    (y_w +- 1, x_w) — and subm outputs exist only at ACTIVE columns. So
+    the subm convs need just the REFINED table
+
+        active  ∪  {x-dilated-only w : active column at (y_w +- 1, x_w)}
+
+    which measures 68% / 80% of the full x-dilation at encoder stages
+    0/1 on ray-cast nuScenes-scale clouds (census in
+    tools/analysis_tools/micro_dilation_refine.py) — every subm conv's
+    z-conv FLOPs and gather rows shrink by that factor, exactly. The
+    STRIDED conv still consumes u-partials at every full-dilation column
+    (its consumers are the stride-2 output table; the same census finds
+    100% of dilated-only columns consumed), so `expand_columns` embeds
+    the refined table back into the full one once per stage.
+
+    Returns (refined ColumnGrid, its y+-1 rulebook, expand dict with
+    the FULL-dilation ids/cmask and the refined->full row lookup).
+    Capacity overflow on either cap drops columns with the documented
+    `dilate_columns` semantics.
+    """
+    ny, nx = cg.bev
+    vc, z, c = cg.feats.shape
+    y, x = _yx(cg.ids, nx)
+    cand_full = [
+        jnp.where(cg.cmask & (x > 0), cg.ids - 1, _INT_MAX),
+        jnp.where(cg.cmask, cg.ids, _INT_MAX),
+        jnp.where(cg.cmask & (x + 1 < nx), cg.ids + 1, _INT_MAX),
+    ]
+    dil_ids, dil_cmask = unique_sorted_ids(jnp.concatenate(cand_full),
+                                           dil_cap)
+
+    def act_at(q: jnp.ndarray, okq: jnp.ndarray) -> jnp.ndarray:
+        j = jnp.minimum(jnp.searchsorted(cg.ids, q, method="sort"),
+                        vc - 1).astype(jnp.int32)
+        return okq & (cg.ids[j] == q)
+
+    def consumed(w: jnp.ndarray, okw: jnp.ndarray) -> jnp.ndarray:
+        """Does candidate column id ``w`` have an ACTIVE y+-1 neighbor?"""
+        wy = w // nx
+        return act_at(w - nx, okw & (wy > 0)) | \
+            act_at(w + nx, okw & (wy + 1 < ny))
+
+    ok_m = cg.cmask & (x > 0)
+    ok_p = cg.cmask & (x + 1 < nx)
+    cand_sub = [
+        jnp.where(ok_m & consumed(cg.ids - 1, ok_m), cg.ids - 1, _INT_MAX),
+        jnp.where(cg.cmask, cg.ids, _INT_MAX),
+        jnp.where(ok_p & consumed(cg.ids + 1, ok_p), cg.ids + 1, _INT_MAX),
+    ]
+    sub_ids, sub_cmask = unique_sorted_ids(jnp.concatenate(cand_sub),
+                                           subm_cap)
+    embed = jnp.minimum(jnp.searchsorted(
+        sub_ids, jnp.where(cg.cmask, cg.ids, _INT_MAX),
+        method="sort").astype(jnp.int32), subm_cap - 1)
+    ok = cg.cmask & (sub_ids[embed] == cg.ids)  # dropped on cap overflow
+    slot = jnp.where(ok, embed, subm_cap)
+    feats = jnp.zeros((subm_cap + 1, z * c), cg.feats.dtype).at[slot].set(
+        cg.feats.reshape(vc, z * c), mode="drop",
+        unique_indices=True)[:-1].reshape(subm_cap, z, c)
+    zmask = jnp.zeros((subm_cap + 1, z), bool).at[slot].set(
+        cg.zmask, mode="drop", unique_indices=True)[:-1]
+    out = ColumnGrid(feats, zmask, sub_ids, sub_cmask, cg.bev)
+    exp_j = jnp.minimum(jnp.searchsorted(
+        sub_ids, jnp.where(dil_cmask, dil_ids, _INT_MAX),
+        method="sort").astype(jnp.int32), subm_cap - 1)
+    exp_found = dil_cmask & (sub_ids[exp_j] == dil_ids)
+    exp = dict(ids=dil_ids, cmask=dil_cmask, slot=exp_j, found=exp_found)
+    return out, subm_y_rulebook(out), exp
+
+
+def dilate_columns_subm_planned(cg: ColumnGrid, plan: dict
+                                ) -> Tuple[ColumnGrid,
+                                           Tuple[jnp.ndarray, jnp.ndarray],
+                                           dict]:
+    """`dilate_columns_subm` from a host plan (`ops/host_plan.dilate_plan`
+    with subm_cap): refined table ids, embed slots, y+-1 rulebook and the
+    refined->full expand lookup arrive precomputed; the device keeps only
+    the feature/mask scatter."""
+    vc, z, c = cg.feats.shape
+    sub_ids = plan["sub_ids"]
+    subm_cap = sub_ids.shape[0]
+    slot = plan["sub_embed"]
+    feats = jnp.zeros((subm_cap + 1, z * c), cg.feats.dtype).at[slot].set(
+        cg.feats.reshape(vc, z * c), mode="drop",
+        unique_indices=True)[:-1].reshape(subm_cap, z, c)
+    zmask = jnp.zeros((subm_cap + 1, z), bool).at[slot].set(
+        cg.zmask, mode="drop", unique_indices=True)[:-1]
+    out = ColumnGrid(feats, zmask, sub_ids, plan["sub_cmask"], cg.bev)
+    exp = dict(ids=plan["dil_ids"], cmask=plan["dil_cmask"],
+               slot=plan["exp_slot"], found=plan["exp_found"])
+    return out, (plan["sub_y_slots"], plan["sub_y_found"]), exp
+
+
+def expand_columns(cg: ColumnGrid, exp: dict) -> ColumnGrid:
+    """Embed a refined subm table into its full x-dilation (the strided
+    conv's input contract — see `dilate_columns_subm`). One fused row
+    gather: the zmask rides as an extra feature plane so the expand pays
+    a single gather instead of a second row-count-taxed one (gathers are
+    ~12 ns/row regardless of width)."""
+    vc, z, c = cg.feats.shape
+    dt = cg.feats.dtype
+    fused = jnp.concatenate([cg.feats, cg.zmask[..., None].astype(dt)],
+                            -1).reshape(vc, z * (c + 1))
+    rows = fused.at[exp["slot"]].get(unique_indices=False,
+                                     mode="promise_in_bounds")
+    rows = jnp.where(exp["found"][:, None], rows,
+                     0.0).reshape(-1, z, c + 1)
+    return ColumnGrid(rows[..., :c], rows[..., c] > 0.5,
+                      exp["ids"], exp["cmask"], cg.bev)
+
+
 def _roll_match(ids: jnp.ndarray, cmask: jnp.ndarray, nx: int,
                 direction: int) -> jnp.ndarray:
     """Valid-mask for the x+-1 neighbor being the adjacent table slot."""

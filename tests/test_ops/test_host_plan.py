@@ -125,18 +125,66 @@ def test_column_and_dilate_plan_match_device():
                                np.asarray(out_pl.feats), atol=1e-5)
 
 
-@pytest.mark.parametrize("dense_from,z_windows", [
+def test_subm_dilate_plan_matches_device():
+    """Refined-dilation structure: host dilate_plan(subm_cap) vs the
+    device dilate_columns_subm — table, rulebook, expand lookup, scatter."""
+    pts, mask = _cloud(seed=9)
+    cap = 160
+    plan = hp.voxel_plan(pts, mask, PCR, VS, cap)
+    col_cap, dil_cap, sub_cap = 96, 160, 136
+    cp = hp.column_plan(plan["vox_coors"], plan["vmask"], GRID, col_cap,
+                        z_pad_to=8)
+    rngf = np.random.default_rng(2)
+    feats = jnp.asarray(rngf.normal(0, 1, (cap, 6)), jnp.float32)
+    feats = jnp.where(jnp.asarray(plan["vmask"])[:, None], feats, 0.0)
+    cg = sc.build_column_grid(feats, jnp.asarray(plan["vox_coors"]),
+                              jnp.asarray(plan["vmask"]), GRID,
+                              col_cap, z_pad_to=8)
+    dp = hp.dilate_plan(cp["col_ids"], cp["cmask"], GRID[1], GRID[2],
+                        dil_cap, subm_cap=sub_cap)
+    g_dev, rb_dev, exp_dev = sc.dilate_columns_subm(cg, dil_cap, sub_cap)
+    g_pl, rb_pl, exp_pl = sc.dilate_columns_subm_planned(
+        cg, {k: jnp.asarray(dp[k]) for k in dp})
+    np.testing.assert_array_equal(np.asarray(g_dev.ids),
+                                  np.asarray(g_pl.ids))
+    np.testing.assert_array_equal(np.asarray(g_dev.cmask),
+                                  np.asarray(g_pl.cmask))
+    np.testing.assert_array_equal(np.asarray(g_dev.zmask),
+                                  np.asarray(g_pl.zmask))
+    np.testing.assert_allclose(np.asarray(g_dev.feats),
+                               np.asarray(g_pl.feats))
+    for a, b in zip(rb_dev, rb_pl):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for k in exp_dev:
+        np.testing.assert_array_equal(np.asarray(exp_dev[k]),
+                                      np.asarray(exp_pl[k]))
+    # the refined table is a strict subset of the full dilation here
+    full, _ = sc.dilate_columns(cg, dil_cap)
+    assert int(g_dev.cmask.sum()) < int(full.cmask.sum())
+    # and expanding restores the full table's ids exactly
+    np.testing.assert_array_equal(np.asarray(exp_dev["ids"]),
+                                  np.asarray(full.ids))
+
+
+@pytest.mark.parametrize("dense_from,z_windows,subm_ratios", [
     # all-sparse/un-windowed is the slowest XLA:CPU compile (~30 s) and
     # its plan slices are a superset of (2, None)'s — slow tier
-    pytest.param(99, None, marks=pytest.mark.slow),
-    (2, None),
+    pytest.param(99, None, None, marks=pytest.mark.slow),
+    (2, None, None),
     # GRID z=11 with active z cells spanning [0, 10]: window (2, 8)
     # DROPS cells {0, 1, 10} — planned and unplanned must agree
     # bit-exactly under drops too (window-relative vox_slot baking);
     # drop-free window equality is test_z_windowed_matches_full's job.
-    (99, ((2, 8), (1, 5))),
+    (99, ((2, 8), (1, 5)), None),
+    # the flagship shape: refined subm tables + expand before strided
+    # (subm_dilation_ratios); ALSO checked against the unrefined output.
+    # Ratios sized to the fixture's true refined counts (149 of 96
+    # active at stage 0 — this uniform cloud is near-dense in BEV, so
+    # refinement is mild here; a tighter cap drops columns legitimately)
+    (2, ((2, 8), (1, 5)), (1.6, 1.6)),
 ])
-def test_planned_encoder_matches_unplanned(dense_from, z_windows):
+def test_planned_encoder_matches_unplanned(dense_from, z_windows,
+                                           subm_ratios):
     from isfusion_tpu.models.middle_encoders.sparse_encoder import \
         SparseEncoder
 
@@ -152,7 +200,7 @@ def test_planned_encoder_matches_unplanned(dense_from, z_windows):
         encoder_paddings=((1, 1), (1, 1), (1, 1)),
         block_type="basicblock", stage_cap_ratios=(0.6, 0.8, 0.5),
         dilation_ratio=2.0, dense_from_stage=dense_from, z_pad_to=8,
-        z_windows=z_windows)
+        z_windows=z_windows, subm_dilation_ratios=subm_ratios)
     plan = hp.build_encoder_plan_batch(
         pts[None], mask[None], vl, enc_cfg, cap)
 
@@ -172,6 +220,15 @@ def test_planned_encoder_matches_unplanned(dense_from, z_windows):
     np.testing.assert_allclose(np.asarray(out_ref), np.asarray(out_pl),
                                atol=1e-5)
     assert float(jnp.abs(out_ref).sum()) > 0
+    if subm_ratios is not None:
+        # refined subm tables change nothing: same output as the
+        # unrefined encoder (the refined table is the exact consumption
+        # set of the u-factorized subm conv)
+        enc0 = SparseEncoder(in_channels=6, norm_cfg=dict(type="BN1d"),
+                             **dict(enc_cfg, subm_dilation_ratios=None))
+        out0 = enc0.apply(variables, feats, coors, vmask)
+        np.testing.assert_allclose(np.asarray(out0), np.asarray(out_ref),
+                                   atol=1e-5)
 
 
 def test_p2g_plan_matches_brute():

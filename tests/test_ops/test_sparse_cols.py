@@ -7,8 +7,9 @@ import pytest
 from isfusion_tpu.ops.sparse import build_sparse_grid, sparse_to_dense
 from isfusion_tpu.ops.sparse_cols import (
     ColumnGrid, build_column_grid, column_rulebook, column_sites,
-    column_to_dense, dilate_columns, sparse_conv_col, sparse_conv_col_dil,
-    subm_conv_col, subm_conv_col_dil, zconv_col)
+    column_to_dense, dilate_columns, dilate_columns_subm, expand_columns,
+    sparse_conv_col, sparse_conv_col_dil, subm_conv_col, subm_conv_col_dil,
+    zconv_col)
 
 GRID = (6, 10, 12)  # (nz, ny, nx)
 
@@ -232,3 +233,67 @@ def test_vmap_batching():
                                np.asarray(run(f1, c1, m1)), rtol=1e-5)
     np.testing.assert_allclose(np.asarray(batched[1]),
                                np.asarray(run(f2, c2, m2)), rtol=1e-5)
+
+
+@pytest.mark.parametrize("seed,n_active", [(0, 40), (11, 55), (12, 10)])
+def test_subm_conv_refined_dilation_matches_full(seed, n_active):
+    """Subm convs on the REFINED dilation (dilate_columns_subm) +
+    expand_columns == the same convs on the full dilation: the refined
+    table is the exact consumption set of the u-factorization."""
+    feats, coords, mask = random_sites(seed=seed, n_active=n_active)
+    cg = build_column_grid(feats, coords, mask, GRID, col_cap=64)
+    rng = np.random.default_rng(seed + 5)
+    w1 = jnp.asarray(rng.normal(size=(3, 3, 3, 5, 7)).astype(np.float32))
+    w2 = jnp.asarray(rng.normal(size=(3, 3, 3, 7, 7)).astype(np.float32))
+
+    dil, rb = dilate_columns(cg, dil_cap=192)
+    ref = dil.replace(feats=subm_conv_col_dil(dil, w1, rb))
+    ref = ref.replace(feats=subm_conv_col_dil(ref, w2, rb))
+
+    sub, srb, exp = jax.jit(
+        lambda g: dilate_columns_subm(g, dil_cap=192, subm_cap=160))(cg)
+    # the refined table really is smaller than the full dilation here
+    assert int(sub.cmask.sum()) < int(dil.cmask.sum())
+    got = sub.replace(feats=subm_conv_col_dil(sub, w1, srb))
+    got = got.replace(feats=subm_conv_col_dil(got, w2, srb))
+    full = jax.jit(expand_columns)(got, exp)
+
+    np.testing.assert_array_equal(np.asarray(full.ids), np.asarray(ref.ids))
+    np.testing.assert_array_equal(np.asarray(full.cmask),
+                                  np.asarray(ref.cmask))
+    np.testing.assert_array_equal(np.asarray(full.zmask),
+                                  np.asarray(ref.zmask))
+    a, b = site_map(full), site_map(ref)
+    assert set(a) == set(b)
+    for k in a:
+        np.testing.assert_allclose(a[k], b[k], rtol=1e-4, atol=1e-5)
+
+
+def test_strided_after_refined_matches_dense():
+    """refined subm -> expand -> u-factorized strided conv == dense
+    oracle (the expand restores the strided conv's full-dilation input
+    contract)."""
+    feats, coords, mask = random_sites(seed=21)
+    cg = build_column_grid(feats, coords, mask, GRID, col_cap=64)
+    rng = np.random.default_rng(31)
+    w1 = jnp.asarray(rng.normal(size=(3, 3, 3, 5, 6)).astype(np.float32))
+    ws = jnp.asarray(rng.normal(size=(3, 3, 3, 6, 4)).astype(np.float32))
+
+    sub, srb, exp = dilate_columns_subm(cg, dil_cap=192, subm_cap=160)
+    h = sub.replace(feats=subm_conv_col_dil(sub, w1, srb))
+    out = jax.jit(lambda g: sparse_conv_col_dil(
+        expand_columns(g, exp), ws, (2, 2, 2), (1, 1, 1),
+        out_col_cap=96))(h)
+
+    d1 = dense_conv(dense_of(feats, coords, mask), w1)
+    occ = (np.abs(np.asarray(dense_of(feats, coords, mask))).sum(-1,
+           keepdims=True) > 0)
+    d1 = np.asarray(d1) * occ          # submanifold: active sites only
+    oracle = np.asarray(dense_conv(jnp.asarray(d1), ws, (2, 2, 2),
+                                   (1, 1, 1)))
+    got = site_map(out)
+    for c, f in got.items():
+        np.testing.assert_allclose(f, oracle[c], rtol=1e-4, atol=1e-5)
+    nzs = np.argwhere(np.abs(oracle).sum(-1) > 1e-5)
+    for c in nzs:
+        assert tuple(c) in got
